@@ -1,0 +1,141 @@
+"""Standard KiD case definitions (the L5 shell absent from the reference
+checkout; case list per BASELINE.json configs).
+
+The KiD framework (Shipway & Hill 2012) drives microphysics with prescribed
+kinematic flow and idealized soundings.  The exact case constants are not
+recoverable from the reference checkout (only the wrapper survives), so the
+definitions here follow the published KiD case design: half-period sinusoidal
+updrafts for the 1-D cases (warm1/mixed1/deep1) and a periodic
+stream-function circulation for the 2-D cases.  Each case's flow is factored
+TPU-first into STATIC spatial patterns times a SCALAR time modulation so the
+whole time loop can live inside one ``lax.scan``:
+
+    w_face(x, z, t) = m(t) * W(x, z),   u_face(x, z, t) = u0 + m(t) * U(x, z)
+
+with m(t) either a half-sine pulse or a ramp to steady state.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import MicroConfig
+from .grid import Grid, make_grid
+
+
+@dataclasses.dataclass(frozen=True)
+class Case:
+    name: str
+    nz: int
+    nx: int
+    ztop: float
+    dt: float
+    t_final: float
+    micro: MicroConfig
+    theta_init: Callable[[np.ndarray], np.ndarray]
+    qv_init: Callable[[np.ndarray], np.ndarray]
+    w1: float = 2.0            # updraft amplitude [m/s]
+    t1: float = 600.0          # pulse half-period / ramp time [s]
+    modulation: str = "pulse"  # "pulse" -> sin(pi t/t1) for t<t1; "ramp"
+    dx: float = 0.0            # horizontal spacing (2-D cases)
+    u0: float = 0.0            # background horizontal wind (2-D cases)
+
+    def grid(self) -> Grid:
+        zc = self.ztop / self.nz * (np.arange(self.nz) + 0.5)
+        return make_grid(self.nz, self.ztop, self.theta_init(zc))
+
+    # -- static flow patterns (face MASS fluxes rho0*w, rho0*u) --------------
+    # 2-D fluxes come from differencing a discrete stream function psi at
+    # cell corners, so the discrete divergence telescopes to zero exactly;
+    # 1-D fluxes are rho0_face * w(z) and the driver adds the compensating
+    # d*_div term (see advection.divergence_tendency_z).
+    def _psi(self, grid: Grid) -> np.ndarray:
+        """Stream function at cell corners, ((nx+1), (nz+1))."""
+        zface = np.concatenate([[0.0], np.cumsum(grid.dz)])
+        xf = np.arange(self.nx + 1) * self.dx
+        lx = self.nx * self.dx
+        rho00 = grid.rho0[0]
+        return (rho00 * self.w1 * lx / (2.0 * np.pi)
+                * np.sin(np.pi * zface / self.ztop)[None, :]
+                * np.sin(2.0 * np.pi * xf / lx)[:, None])
+
+    def rhow_pattern(self, grid: Grid) -> np.ndarray:
+        """F_z(x, z) = rho0*w at z-faces, (nx, nz+1)."""
+        zface = np.concatenate([[0.0], np.cumsum(grid.dz)])
+        rho_face = np.concatenate([grid.rho0[:1],
+                                   0.5 * (grid.rho0[1:] + grid.rho0[:-1]),
+                                   grid.rho0[-1:]])
+        if self.nx == 1:
+            wz = self.w1 * np.sin(np.pi * zface / self.ztop)
+            return (rho_face * wz)[None, :]
+        psi = self._psi(grid)
+        return np.diff(psi, axis=0) / self.dx           # (nx, nz+1)
+
+    def rhou_pattern(self, grid: Grid) -> Optional[np.ndarray]:
+        """F_x(x, z) = rho0*u at x-faces, (nx+1, nz); circulation part only
+        (the u0 background is added in the loop as rho0*u0)."""
+        if self.nx == 1:
+            return None
+        psi = self._psi(grid)
+        return -np.diff(psi, axis=1) / grid.dz[None, :]  # (nx+1, nz)
+
+    def time_modulation(self, t):
+        """Scalar m(t); works on traced jnp scalars."""
+        import jax.numpy as jnp
+        if self.modulation == "pulse":
+            return jnp.where(t < self.t1,
+                             jnp.sin(jnp.pi * t / self.t1), 0.0)
+        return jnp.minimum(t / self.t1, 1.0)          # ramp to steady
+
+    @property
+    def n_steps(self) -> int:
+        return int(round(self.t_final / self.dt))
+
+
+def _theta_const(v):
+    return lambda z: np.full_like(z, v, dtype=np.float64)
+
+
+def _qv_exp(q0, h):
+    return lambda z: q0 * np.exp(-z / h)
+
+
+WARM1 = Case(
+    name="warm1", nz=120, nx=1, ztop=3000.0, dt=1.0, t_final=3600.0,
+    micro=MicroConfig(iiwarm=True),
+    theta_init=_theta_const(288.0),
+    qv_init=_qv_exp(0.015, 2000.0),
+    w1=2.0, t1=600.0)
+
+MIXED1 = Case(
+    name="mixed1", nz=120, nx=1, ztop=10000.0, dt=2.0, t_final=3600.0,
+    micro=MicroConfig(iiwarm=False),
+    theta_init=lambda z: 273.15 + 2.0e-3 * z,       # cold, weakly stable
+    qv_init=_qv_exp(0.0045, 2500.0),
+    w1=2.0, t1=600.0)
+
+DEEP1 = Case(
+    name="deep1", nz=120, nx=1, ztop=16000.0, dt=2.0, t_final=3600.0,
+    micro=MicroConfig(iiwarm=False),
+    theta_init=lambda z: 297.0 + np.where(z < 12000.0, 3.0e-3 * z,
+                                          36.0 + 0.01 * (z - 12000.0)),
+    qv_init=_qv_exp(0.016, 2200.0),
+    w1=8.0, t1=1200.0)
+
+CUMULUS2D = Case(
+    name="cumulus2d", nz=60, nx=64, ztop=3000.0, dt=2.0, t_final=1800.0,
+    micro=MicroConfig(iiwarm=True),
+    theta_init=_theta_const(288.0),
+    qv_init=_qv_exp(0.015, 2000.0),
+    w1=2.0, t1=900.0, dx=100.0)
+
+OROGRAPHIC2D = Case(
+    name="orographic2d", nz=60, nx=64, ztop=5000.0, dt=2.0, t_final=1800.0,
+    micro=MicroConfig(iiwarm=False),
+    theta_init=lambda z: 278.0 + 3.0e-3 * z,
+    qv_init=_qv_exp(0.005, 2500.0),
+    w1=1.0, t1=120.0, modulation="ramp", dx=250.0, u0=10.0)
+
+CASES = {c.name: c for c in [WARM1, MIXED1, DEEP1, CUMULUS2D, OROGRAPHIC2D]}

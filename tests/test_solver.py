@@ -1,0 +1,223 @@
+"""Column-solver validation: physics invariants and behavioral checks.
+
+With no Fortran toolchain in the image the oracle strategy (SURVEY.md §4.2)
+is: (a) exact invariants the scheme guarantees by construction — per-level
+water-mass closure of the process terms, precip closure of the sedimentation
+sweep; (b) directional physics checks on hand-built soundings; (c) batching
+equivalence (vmap == per-column)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kid_tpu import constants as c
+from kid_tpu.config import MicroConfig
+from kid_tpu.micro import (ColumnState, batched_microphysics,
+                           column_microphysics, device_tables)
+from kid_tpu.tables.cache import get_tables
+
+NZ = 60
+DZ = 100.0
+DT = 10.0
+
+CFG_WARM = MicroConfig(iiwarm=True, dtype="float64")
+CFG_MIXED = MicroConfig(iiwarm=False, dtype="float64")
+TB_WARM = device_tables(get_tables(iiwarm=True), jnp.float64)
+TB_MIXED = device_tables(get_tables(iiwarm=False), jnp.float64)
+
+
+def sounding(surface_t=289.0, qv0=0.011, cold=False):
+    zc = (np.arange(NZ) + 0.5) * DZ
+    p = 101325.0 * np.exp(-zc / 8500.0)
+    t = (surface_t - (0.045 if cold else 0.0065) * zc)
+    t = np.maximum(t, 210.0)
+    qv = qv0 * np.exp(-zc / 2500.0)
+    return zc, p, t, qv
+
+
+def mkstate(zc, p, t, qv, qc=None, qr=None, nr=None, qi=None, ni=None,
+            qs=None, qg=None):
+    rho = 0.622 * p / (287.04 * t * (qv + 0.622))
+    z = np.zeros(NZ)
+
+    def arr(x):
+        return jnp.asarray(z if x is None else x, jnp.float64)
+
+    return ColumnState(
+        t=arr(t), qv=arr(qv), qc=arr(qc), qi=arr(qi), qr=arr(qr),
+        qs=arr(qs), qg=arr(qg), ni=arr(ni), nr=arr(nr),
+        nc=arr(100e6 / rho), nwfa=arr(11.1e6 / rho),
+        nifa=arr(0.5e6 * 0.01 / rho)), rho
+
+
+def run(state, p, cfg, tb, w=None, dt=DT):
+    w = jnp.zeros(NZ) if w is None else jnp.asarray(w)
+    return column_microphysics(state, jnp.asarray(p), w,
+                               jnp.full(NZ, DZ), dt, tb, cfg)
+
+
+def total_water(s):
+    return (np.asarray(s.qv) + np.asarray(s.qc) + np.asarray(s.qi)
+            + np.asarray(s.qr) + np.asarray(s.qs) + np.asarray(s.qg))
+
+
+@pytest.mark.parametrize("cfg,tb", [(CFG_WARM, TB_WARM),
+                                    (CFG_MIXED, TB_MIXED)],
+                         ids=["warm", "mixed"])
+def test_finite_and_nonnegative(cfg, tb):
+    zc, p, t, qv = sounding()
+    qc = np.where((zc > 500) & (zc < 2500), 1.2e-3, 0.0)
+    qr = np.where(zc < 1500, 3e-4, 0.0)
+    nr = np.where(qr > 0, 2e5, 0.0)
+    st, rho = mkstate(zc, p, t, qv, qc=qc, qr=qr, nr=nr)
+    s, ppt, diag = run(st, p, cfg, tb)
+    for name, v in zip(ColumnState._fields, s):
+        v = np.asarray(v)
+        assert np.isfinite(v).all(), name
+    for q in [s.qv, s.qc, s.qi, s.qr, s.qs, s.qg, s.ni, s.nr, s.nc]:
+        assert (np.asarray(q) >= 0.0).all()
+    for k, v in diag.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
+@pytest.mark.parametrize("cfg,tb", [(CFG_WARM, TB_WARM),
+                                    (CFG_MIXED, TB_MIXED)],
+                         ids=["warm", "mixed"])
+def test_column_water_closure(cfg, tb):
+    """Column-integrated water at call-time rho changes only by surface
+    precipitation (process terms cancel pairwise by construction;
+    f90:2411-2547 tendency assembly)."""
+    zc, p, t, qv = sounding()
+    qc = np.where((zc > 300) & (zc < 2500), 1.5e-3, 0.0)
+    qr = np.full(NZ, 4e-4) * np.exp(-zc / 1500.0)
+    nr = np.where(qr > 0, 3e5, 0.0)
+    st, rho = mkstate(zc, p, t, qv, qc=qc, qr=qr, nr=nr)
+    s, ppt, _ = run(st, p, cfg, tb)
+    before = float(np.sum(total_water(st) * rho * DZ))
+    after = float(np.sum(total_water(s) * rho * DZ))
+    fallout = float(ppt.rain + ppt.snow + ppt.graupel + ppt.ice)
+    assert fallout > 0.0       # rain reaches the surface in this setup
+    # closure to ~0.2% of the column water (fp32-grade floors, qv floor,
+    # and the rho refresh between phases are the residual sources)
+    np.testing.assert_allclose(after - before, -fallout,
+                               rtol=0.0, atol=2e-3 * before)
+
+
+def test_no_micro_is_identity_like():
+    """Dry, subsaturated, hydrometeor-free column: state passes through
+    (the reference exits early at f90:1540)."""
+    zc, p, t, qv = sounding(qv0=0.002)
+    st, _ = mkstate(zc, p, t, qv)
+    s, ppt, _ = run(st, p, CFG_MIXED, TB_MIXED)
+    np.testing.assert_allclose(np.asarray(s.t), t, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s.qv), qv, rtol=1e-12)
+    assert float(s.qc.max()) == 0.0 and float(s.qr.max()) == 0.0
+    assert float(ppt.rain) == 0.0
+
+
+def test_supersaturation_condenses_and_warms():
+    zc, p, t, qv = sounding()
+    from kid_tpu.special import rslf_np
+    qvs = rslf_np(p, t)
+    qv = np.where((zc > 500) & (zc < 1500), qvs * 1.05, qv * 0.5)
+    st, _ = mkstate(zc, p, t, qv)
+    s, _, _ = run(st, p, CFG_WARM, TB_WARM)
+    lev = (zc > 500) & (zc < 1500)
+    assert (np.asarray(s.qc)[lev] > 0.0).all()
+    assert (np.asarray(s.t)[lev] > t[lev]).all()     # latent heating
+    assert (np.asarray(s.qv)[lev] < qv[lev]).all()
+
+
+def test_autoconversion_moves_cloud_to_rain():
+    zc, p, t, qv = sounding()
+    qc = np.where((zc > 500) & (zc < 2000), 2.5e-3, 0.0)   # heavy cloud
+    st, _ = mkstate(zc, p, t, qv * 0.9, qc=qc)
+    s, _, diag = run(st, p, CFG_WARM, TB_WARM, dt=30.0)
+    assert float(np.asarray(diag["prr_wau"]).max()) > 0.0
+    assert float(s.qr.max()) > 0.0
+
+
+def test_rain_sediments_and_precipitates():
+    zc, p, t, qv = sounding()
+    qr = np.where(zc < 1000, 1e-3, 0.0)
+    nr = np.where(qr > 0, 1e5, 0.0)
+    st, rho = mkstate(zc, p, t, qv * 0.5, qr=qr, nr=nr)
+    s, ppt, _ = run(st, p, CFG_WARM, TB_WARM, dt=30.0)
+    assert float(ppt.rain) > 0.0
+    # profile shifted down: rain above 1 km stays ~zero, surface bin loses
+    assert float(np.asarray(s.qr)[zc > 1200].max()) < 1e-6
+
+
+def test_cold_rain_freezes_mixed_phase():
+    zc, p, t, qv = sounding(surface_t=265.0, qv0=0.003, cold=True)
+    qr = np.where((zc > 1000) & (zc < 3000), 5e-4, 0.0)
+    nr = np.where(qr > 0, 2e5, 0.0)
+    st, _ = mkstate(zc, p, t, qv, qr=qr, nr=nr)
+    s, _, diag = run(st, p, CFG_MIXED, TB_MIXED, dt=30.0)
+    frozen = float(np.asarray(diag["pri_rfz"]).max()
+                   + np.asarray(diag["pni_rfz"]).max())
+    assert frozen > 0.0
+    assert float((np.asarray(s.qg) + np.asarray(s.qi)).max()) > 0.0
+
+
+def test_snow_melts_above_freezing():
+    zc, p, t, qv = sounding(surface_t=293.0)
+    qs = np.where((zc > 200) & (zc < 2000), 5e-4, 0.0)
+    st, _ = mkstate(zc, p, t, qv * 0.8, qs=qs)
+    s, _, diag = run(st, p, CFG_MIXED, TB_MIXED, dt=30.0)
+    assert float(np.asarray(diag["prr_sml"]).max()) > 0.0
+    assert float(s.qr.max()) > 0.0
+
+
+def test_ice_nucleation_when_cold_supersaturated():
+    zc, p, t, qv = sounding(surface_t=262.0, cold=True)
+    from kid_tpu.special import rsif_np
+    qvsi = rsif_np(p, t)
+    qv = qvsi * 1.30          # strongly ice-supersaturated
+    st, _ = mkstate(zc, p, t, qv)
+    s, _, diag = run(st, p, CFG_MIXED, TB_MIXED)
+    assert float(np.asarray(diag["pri_inu"]).max()) > 0.0
+    assert float(s.qi.max()) > 0.0
+
+
+def test_batched_matches_percolumn():
+    zc, p, t, qv = sounding()
+    ncol = 4
+    rng = np.random.default_rng(0)
+    states = []
+    for i in range(ncol):
+        qc = np.where((zc > 400 + 100 * i) & (zc < 2200), 1e-3
+                      + 2e-4 * i, 0.0)
+        qr = np.where(zc < 1200, 2e-4 * (i + 1), 0.0)
+        nr = np.where(qr > 0, 1e5, 0.0)
+        st, _ = mkstate(zc, p, t + rng.normal(0, 0.5, NZ), qv, qc=qc,
+                        qr=qr, nr=nr)
+        states.append(st)
+    batched = ColumnState(*[jnp.stack([getattr(s, f) for s in states])
+                            for f in ColumnState._fields])
+    pres_b = jnp.tile(jnp.asarray(p), (ncol, 1))
+    w_b = jnp.zeros((ncol, NZ))
+    dz_b = jnp.full((ncol, NZ), DZ)
+    sb, pptb, _ = batched_microphysics(batched, pres_b, w_b, dz_b, DT,
+                                       TB_MIXED, CFG_MIXED)
+    for i in range(ncol):
+        si, ppti, _ = run(states[i], p, CFG_MIXED, TB_MIXED)
+        for f in ColumnState._fields:
+            np.testing.assert_allclose(np.asarray(getattr(sb, f))[i],
+                                       np.asarray(getattr(si, f)),
+                                       rtol=1e-12, atol=1e-20,
+                                       err_msg=f"col {i} field {f}")
+        np.testing.assert_allclose(float(pptb.rain[i]), float(ppti.rain),
+                                   rtol=1e-12, atol=1e-20)
+
+
+def test_l_sediment_switch_gates_ice_not_rain():
+    zc, p, t, qv = sounding(surface_t=265.0, cold=True)
+    qs = np.where(zc > 500, 1e-3, 0.0)
+    qr = np.where(zc < 800, 5e-4, 0.0)
+    nr = np.where(qr > 0, 1e5, 0.0)
+    st, _ = mkstate(zc, p, t, qv, qs=qs, qr=qr, nr=nr)
+    cfg_nosed = MicroConfig(iiwarm=False, l_sediment=False, dtype="float64")
+    s, ppt, _ = run(st, p, cfg_nosed, TB_MIXED, dt=30.0)
+    assert float(ppt.snow) == 0.0          # gated (f90:3506)
+    assert float(ppt.rain) > 0.0           # rain never gated (f90:3365)
