@@ -243,8 +243,8 @@ CIE[7] = BM_I * 0.5 + MU_I + 1.0
 CIG = np.zeros(8)
 for _i in range(1, 8):
     CIG[_i] = _gamma(CIE[_i])
-OIG1 = 1.0 / CIG[1]
-OIG2 = 1.0 / CIG[2]
+OIG1 = float(1.0 / CIG[1])
+OIG2 = float(1.0 / CIG[2])
 OBMI = 1.0 / BM_I
 
 # Rain: cre(1..13) (f90:485-505)
@@ -266,10 +266,10 @@ CRG = np.zeros(14)
 for _i in range(1, 14):
     CRG[_i] = _gamma(CRE[_i])
 OBMR = 1.0 / BM_R
-ORE1 = 1.0 / CRE[1]
-ORG1 = 1.0 / CRG[1]
-ORG2 = 1.0 / CRG[2]
-ORG3 = 1.0 / CRG[3]
+ORE1 = float(1.0 / CRE[1])
+ORG1 = float(1.0 / CRG[1])
+ORG2 = float(1.0 / CRG[2])
+ORG3 = float(1.0 / CRG[3])
 
 # Snow: cse(1..18) (f90:507-530)
 CSE = np.zeros(19)
@@ -318,30 +318,30 @@ for _i in range(1, 13):
 OAMG = 1.0 / AM_G
 OBMG = 1.0 / BM_G
 OCMG = OAMG ** OBMG
-OGE1 = 1.0 / CGE[1]
-OGG1 = 1.0 / CGG[1]
-OGG2 = 1.0 / CGG[2]
-OGG3 = 1.0 / CGG[3]
+OGE1 = float(1.0 / CGE[1])
+OGG1 = float(1.0 / CGG[1])
+OGG2 = float(1.0 / CGG[2])
+OGG3 = float(1.0 / CGG[3])
 
 # ----------------------------------------------------------------------------
 # Collapsed rate constants (f90:558-591)
 # ----------------------------------------------------------------------------
-T1_QR_QC = PI * 0.25 * AV_R * CRG[9]
-T1_QR_QI = PI * 0.25 * AV_R * CRG[9]
-T2_QR_QI = PI * 0.25 * AM_R * AV_R * CRG[8]
-T1_QG_QC = PI * 0.25 * AV_G * CGG[9]
+T1_QR_QC = float(PI * 0.25 * AV_R * CRG[9])
+T1_QR_QI = float(PI * 0.25 * AV_R * CRG[9])
+T2_QR_QI = float(PI * 0.25 * AM_R * AV_R * CRG[8])
+T1_QG_QC = float(PI * 0.25 * AV_G * CGG[9])
 T1_QS_QC = PI * 0.25 * AV_S
 T1_QS_QI = PI * 0.25 * AV_S
-T1_QR_EV = 0.78 * CRG[10]
-T2_QR_EV = 0.308 * SC3 * math.sqrt(AV_R) * CRG[11]
+T1_QR_EV = float(0.78 * CRG[10])
+T2_QR_EV = float(0.308 * SC3 * math.sqrt(AV_R) * CRG[11])
 T1_QS_SD = 0.86
 T2_QS_SD = 0.28 * SC3 * math.sqrt(AV_S)
 T1_QS_ME = PI * 4.0 * C_SQRD * OLFUS * 0.86
 T2_QS_ME = PI * 4.0 * C_SQRD * OLFUS * 0.28 * SC3 * math.sqrt(AV_S)
-T1_QG_SD = 0.86 * CGG[10]
-T2_QG_SD = 0.28 * SC3 * math.sqrt(AV_G) * CGG[11]
-T1_QG_ME = PI * 4.0 * C_CUBE * OLFUS * 0.86 * CGG[10]
-T2_QG_ME = PI * 4.0 * C_CUBE * OLFUS * 0.28 * SC3 * math.sqrt(AV_G) * CGG[11]
+T1_QG_SD = float(0.86 * CGG[10])
+T2_QG_SD = float(0.28 * SC3 * math.sqrt(AV_G) * CGG[11])
+T1_QG_ME = float(PI * 4.0 * C_CUBE * OLFUS * 0.86 * CGG[10])
+T2_QG_ME = float(PI * 4.0 * C_CUBE * OLFUS * 0.28 * SC3 * math.sqrt(AV_G) * CGG[11])
 
 # ----------------------------------------------------------------------------
 # Log-index offsets for the decade/mantissa table index (f90:594-602)

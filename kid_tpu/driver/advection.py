@@ -79,6 +79,26 @@ def divergence_tendency_z(q, rhow_face, rho0, dz):
     return q * (flux[..., 1:] - flux[..., :-1]) / (rho0 * dz)
 
 
+def advective_tendency_x_padded(q_padded, rhou_face, rho0, dx):
+    """x-transport given a 2-ghost-padded tracer.
+
+    Args:
+      q_padded:  (ncol+4, nz) tracer with 2 ghost columns each side (filled
+                 periodically for single-device, by halo exchange when the
+                 column axis is sharded over a mesh — kid_tpu.dist).
+      rhou_face: (ncol+1, nz) horizontal mass flux at the local x-faces.
+      rho0:      (nz,) center density.
+      dx:        scalar spacing.
+    """
+    qx = jnp.swapaxes(q_padded, 0, 1)                  # (nz, ncol+4)
+    fx = jnp.swapaxes(rhou_face, 0, 1)                 # (nz, ncol+1)
+    fx_ext = jnp.concatenate([fx[..., :1], fx, fx[..., -1:]], axis=-1)
+    qf = _muscl_face_values(qx, fx_ext)[..., 1:-1]
+    flux = fx * qf
+    ten = -(flux[..., 1:] - flux[..., :-1]) / (rho0[:, None] * dx)
+    return jnp.swapaxes(ten, 0, 1)
+
+
 def advective_tendency_x(q, rhou_face, rho0, dx):
     """d(q)/dt = -(1/rho0) d(F_x q)/dx, F_x = rho0*u at x-faces; periodic.
 
@@ -88,14 +108,10 @@ def advective_tendency_x(q, rhou_face, rho0, dx):
                  (rhou_face[0] == rhou_face[ncol], the periodic face).
       rho0:      (nz,) center density.
       dx:        scalar spacing.
+
+    2 ghost cells per side give every retained face a full MUSCL stencil, so
+    the two copies of the periodic face get identical fluxes (exact
+    conservation across the seam).
     """
-    qx = jnp.swapaxes(q, 0, 1)                         # (nz, ncol)
-    fx = jnp.swapaxes(rhou_face, 0, 1)                 # (nz, ncol+1)
-    # 2 ghost cells per side so every retained face has a full MUSCL stencil
-    # and the two copies of the periodic face get identical fluxes
-    qpad = jnp.concatenate([qx[..., -2:], qx, qx[..., :2]], axis=-1)
-    fx_ext = jnp.concatenate([fx[..., :1], fx, fx[..., -1:]], axis=-1)
-    qf = _muscl_face_values(qpad, fx_ext)[..., 1:-1]
-    flux = fx * qf
-    ten = -(flux[..., 1:] - flux[..., :-1]) / (rho0[:, None] * dx)
-    return jnp.swapaxes(ten, 0, 1)
+    qpad = jnp.concatenate([q[-2:], q, q[:2]], axis=0)
+    return advective_tendency_x_padded(qpad, rhou_face, rho0, dx)

@@ -56,21 +56,31 @@ def _relu(x):
 
 def _fill_down(vals, valid):
     """vt(k) = vt(k) if valid else vt(k+1), swept top->bottom with a zero
-    upper boundary (f90:3234-3236, 3266-3268, 3306-3307, 3332-3333)."""
-    def step(carry, xs):
-        v, ok = xs
-        out = jnp.where(ok, v, carry)
-        return out, out
-    _, out_rev = lax.scan(step, jnp.zeros((), vals.dtype),
-                          (vals[::-1], valid[::-1]))
-    return out_rev[::-1]
+    upper boundary (f90:3234-3236, 3266-3268, 3306-3307, 3332-3333).
+
+    Parallel formulation: the filled value at k is vals[j] where j is the
+    nearest valid level at-or-above k — a reversed cummin over level indices
+    followed by a gather (log-depth, TPU-friendly; a lax.scan here would be
+    a 120-long serial chain of tiny kernels)."""
+    nz = vals.shape[-1]
+    kk = lax.iota(jnp.int32, nz)
+    idx = jnp.where(valid, kk, nz)
+    nearest = lax.cummin(idx, axis=idx.ndim - 1, reverse=True)
+    safe = jnp.minimum(nearest, nz - 1)
+    out = jnp.take_along_axis(vals, jnp.broadcast_to(safe, vals.shape),
+                              axis=-1)
+    return jnp.where(nearest < nz, out, 0.0)
+
+
+_SA = tuple(float(x) for x in c.SA)
+_SB = tuple(float(x) for x in c.SB)
 
 
 def _field_ab(tc0, m: float):
     """Field et al. (2005) moment-regression coefficients (a_, b_) at
     moment-order ``m`` (the pattern at f90:1556-1626 with static M)."""
-    sa = c.SA
-    sb = c.SB
+    sa = _SA
+    sb = _SB
     loga = (sa[0] + sa[1] * tc0 + sa[2] * m + sa[3] * tc0 * m
             + sa[4] * tc0 * tc0 + sa[5] * m * m + sa[6] * tc0 * tc0 * m
             + sa[7] * tc0 * m * m + sa[8] * tc0 ** 3 + sa[9] * m ** 3)
@@ -101,10 +111,10 @@ def _snow_moments(rs, temp, l_qs, orders):
 
 def _graupel_psd(rg, temp, l_qr, mvd_r, nz):
     """Graupel N0/lambda with the top-down running-min scan
-    (f90:1633-1656) as a reversed cummin."""
+    (f90:1633-1656) as a reversed cummin.  Rank-polymorphic over (..., nz)."""
     kk = lax.iota(jnp.int32, nz)
     # k_0: highest level with temp >= 270.65 (f90:1635-1637), default kts
-    k0 = jnp.max(jnp.where(temp >= 270.65, kk, 0))
+    k0 = jnp.max(jnp.where(temp >= 270.65, kk, 0), axis=-1, keepdims=True)
     xslw1 = jnp.where((kk > k0) & l_qr & (mvd_r > 100.0e-6),
                       4.01 + jnp.log10(jnp.maximum(mvd_r, 1e-12)), 0.01)
     ygra1 = 4.31 + jnp.log10(jnp.maximum(5.0e-5, rg))
@@ -113,7 +123,7 @@ def _graupel_psd(rg, temp, l_qr, mvd_r, nz):
                             + 30.0 + 10.0 * ygra1))
     n0_exp = jnp.clip(jnp.power(10.0, zans1), c.GONV_MIN, c.GONV_MAX)
     # running minimum swept from the top (f90:1648-1649)
-    n0_exp = lax.cummin(n0_exp, axis=0, reverse=True)
+    n0_exp = lax.cummin(n0_exp, axis=n0_exp.ndim - 1, reverse=True)
     lam_exp = jnp.power(n0_exp * c.AM_G * CGG[1] / rg, c.OGE1)
     lamg = lam_exp * (CGG[3] * c.OGG2 * c.OGG1) ** c.OBMG
     ilamg = 1.0 / lamg
@@ -204,14 +214,14 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     Physics per mp_thompson (module_mp_thompson09n.f90:1156-3688); phase
     numbers refer to SURVEY.md §3.2b.
     """
-    nz = state.qv.shape[0]
+    nz = state.qv.shape[-1]
     dtype = state.qv.dtype
     one = jnp.asarray(1.0, dtype)
     dt = jnp.asarray(dt, dtype)
     odt = one / dt
     odts = odt          # dtsave == dt (f90:1277-1279)
     nt_c = cfg.nt_c
-    z = jnp.zeros((nz,), dtype)
+    z = jnp.zeros_like(state.qv)
 
     t1d, qv1d = state.t, state.qv
     qc1d, qi1d, qr1d = state.qc, state.qi, state.qr
@@ -400,7 +410,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     prg_scw = z; prg_rfz = z; prg_gde = z; prg_gcw = z
     prg_rcs = z; prg_rcg = z; prg_ihm = z
     prr_sml = z; pnr_sml = z; prr_gml = z; pnr_gml = z
-    vts_boost = jnp.full((nz,), 1.5, dtype)
+    vts_boost = jnp.full_like(state.qv, 1.5)
 
     if not cfg.iiwarm:
         t_lt_0 = temp < c.T_0
@@ -517,7 +527,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         rate_max_i = (qv - qvsi) * rho * odts * 0.999   # f90:2028
 
         # ice nuclei count (Cooper default when not aerosol-aware, f90:2043-2047)
-        xni_in = jnp.full((nz,), 1.0e3, dtype)
+        xni_in = jnp.full_like(state.qv, 1.0e3)
         idx_in = jnp.where(xni_in > _NTIN1,
                            decade_index(xni_in, c.NIIN2, c.NTB_IN), 0)
         del idx_in  # IN index feeds no table in the non-aerosol path
@@ -868,7 +878,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
     # aerosol tendencies (only evolve in aerosol-aware mode; f90:2398-2408)
     nwfaten = z
-    nifaten = z
+    nifaten = z + 0.0
 
     # ---- phase 12: provisional state at t+dt (f90:2574-2656) --------------
     temp = t1d + dt * tten
@@ -1035,24 +1045,34 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     rhof = jnp.sqrt(c.RHO_NOT / rho)                # f90:3219
 
     def _cfl(vt_mask, vt):
-        ksed = jnp.max(jnp.where(vt_mask, kk, 0))
+        # per-column CFL bookkeeping (f90:3239-3246 pattern): ksed / nstep /
+        # onstep are per column; the fori trip count is the batch max, with
+        # per-column masking inside the sweep
+        ksed = jnp.max(jnp.where(vt_mask, kk, 0), axis=-1, keepdims=True)
         ksed = jnp.where(ksed == top, top - 1, ksed)
         nstep = jnp.max(jnp.where(vt_mask,
                                   (dt * vt * odzq + 1.0).astype(jnp.int32),
-                                  0))
+                                  0), axis=-1, keepdims=True)
         n_loop = jnp.maximum(nstep, 1)
         return ksed, n_loop, 1.0 / n_loop.astype(dtype)
 
     def _sweep(n_loop, onstep, ksed, vts_mass, vts_num, ten_m, ten_n,
                dens_m, dens_n, floor_m, floor_n, gate_sed):
         """One species' substepped upwind sweep (f90:3365-3399 pattern).
-        ``vts_num`` / number args may be None for single-moment species."""
-        upd = (kk == top) | (kk <= ksed)
+        ``vts_num`` / number args may be None for single-moment species.
+        Rank-polymorphic: runs max-over-batch substeps with per-column
+        (n < n_loop) masking, reproducing each column's own nstep/onstep."""
+        def shift_up(a):
+            return jnp.concatenate([a[..., 1:], a[..., -1:] * 0.0], axis=-1)
 
-        def body(_, carry):
+        n_iter = jnp.max(n_loop)
+
+        def body(n, carry):
             ten_m, ten_n, dm, dn, ppt = carry
+            active = n < n_loop                       # (..., 1)
+            upd = ((kk == top) | (kk <= ksed)) & active
             sed_m = vts_mass * dm * gate_sed
-            dflx_m = jnp.concatenate([sed_m[1:], sed_m[-1:] * 0.0]) - sed_m
+            dflx_m = shift_up(sed_m) - sed_m
             ten_m = jnp.where(upd, ten_m + dflx_m * odzq * onstep * orho,
                               ten_m)
             dm = jnp.where(upd,
@@ -1060,20 +1080,20 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                                        * onstep), dm)
             if vts_num is not None:
                 sed_n = vts_num * dn * gate_sed
-                dflx_n = jnp.concatenate([sed_n[1:], sed_n[-1:] * 0.0]) - sed_n
+                dflx_n = shift_up(sed_n) - sed_n
                 ten_n = jnp.where(upd, ten_n + dflx_n * odzq * onstep * orho,
                                   ten_n)
                 dn = jnp.where(upd,
                                jnp.maximum(floor_n, dn + dflx_n * odzq * dt
                                            * onstep), dn)
-            ppt = ppt + jnp.where(dm[0] > c.R1 * 10.0,
-                                  sed_m[0] * dt * onstep, 0.0)
+            ppt = ppt + jnp.where(active[..., 0] & (dm[..., 0] > c.R1 * 10.0),
+                                  sed_m[..., 0] * dt * onstep[..., 0], 0.0)
             return ten_m, ten_n, dm, dn, ppt
 
         init = (ten_m, ten_n if ten_n is not None else ten_m,
                 dens_m, dens_n if dens_n is not None else dens_m,
-                jnp.zeros((), dtype))
-        ten_m, ten_n, dm, dn, ppt = lax.fori_loop(0, n_loop, body, init)
+                jnp.zeros(dens_m.shape[:-1], dtype))
+        ten_m, ten_n, dm, dn, ppt = lax.fori_loop(0, n_iter, body, init)
         return ten_m, ten_n, dm, dn, ppt
 
     # rain (never gated by l_sediment; f90:3365-3399)
@@ -1093,9 +1113,9 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         nloop_r, onstep_r, ksed_r, vtrk, vtnrk, qrten, nrten, rr, nr,
         c.R1, c.R2, one)
 
-    pptice = jnp.zeros((), dtype)
-    pptsnow = jnp.zeros((), dtype)
-    pptgraul = jnp.zeros((), dtype)
+    pptice = jnp.zeros(rr.shape[:-1], dtype)
+    pptsnow = jnp.zeros(rr.shape[:-1], dtype)
+    pptgraul = jnp.zeros(rr.shape[:-1], dtype)
     if not cfg.iiwarm:
         gate = one if cfg.l_sediment else jnp.zeros((), dtype)
 
@@ -1259,13 +1279,22 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 @partial(jax.jit, static_argnames=("cfg",))
 def batched_microphysics(state: ColumnState, pres, w, dzq, dt,
                          tables: Tables, cfg: MicroConfig):
-    """vmap of :func:`column_microphysics` over the leading column axis.
+    """Batched columns: the TPU-native replacement for the reference's
+    serial ``do i=1,nx`` column loop (mphys_thompson09n.f90:54).
 
-    This is the TPU-native replacement for the reference's serial
-    ``do i=1,nx`` column loop (mphys_thompson09n.f90:54): columns are
-    embarrassingly parallel, so the whole (ncol, nz) state advances in one
-    XLA program.
-    """
+    The solver is rank-polymorphic — every vertical structure is an
+    ``axis=-1`` parallel op — so the whole (ncol, nz) state advances in one
+    flat XLA program with no vmap-induced serial scans.  The per-column CFL
+    substep counts are preserved exactly (batch-max trip count with
+    per-column masking)."""
+    return column_microphysics(state, pres, w, dzq, dt, tables, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def vmapped_microphysics(state: ColumnState, pres, w, dzq, dt,
+                         tables: Tables, cfg: MicroConfig):
+    """vmap formulation of the same computation; kept as a semantics
+    cross-check against the rank-polymorphic fast path (tests)."""
     fn = jax.vmap(
         lambda s, p, w_, dz: column_microphysics(s, p, w_, dz, dt, tables,
                                                  cfg),
