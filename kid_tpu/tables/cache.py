@@ -60,7 +60,8 @@ def get_tables(iiwarm: bool = False, cache_dir: Optional[str] = None,
     tables = build_all_tables(iiwarm)
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = path + f".tmp.{os.getpid()}"
+        # tmp must end in .npz or np.savez appends it and os.replace misses
+        tmp = path + f".tmp.{os.getpid()}.npz"
         np.savez_compressed(tmp, **tables._asdict())
         os.replace(tmp, path)
     except OSError:
