@@ -30,6 +30,7 @@ from jax import lax
 from .. import constants as c
 from ..config import MicroConfig
 from ..special import rslf, rsif
+from .fastmath import exp10, powc
 from ..tables.builders import Tables
 from ..tables.index import decade_index, fnint, log_bin_index, tnc_index
 from .state import ColumnState, Precip
@@ -132,9 +133,15 @@ def _fill_down(vals, valid):
     elementwise VPU work.  (The earlier index-gather formulation lowered to
     a scattered 1M-element TPU gather costing ~10 ms per call site.)"""
     def first_valid(a, b):
+        # in a reversed scan the carry arrives as ``a`` (accumulated from
+        # ABOVE) and the nearer element as ``b``: prefer b, so each level
+        # keeps its own value when valid and takes the nearest one above
+        # otherwise (verified against the Fortran recurrence; preferring a
+        # floods the topmost valid value downward — the round-1 bug the
+        # oracle caught).
         av, af = a
         bv, bf = b
-        return jnp.where(af, av, bv), af | bf
+        return jnp.where(bf, bv, av), af | bf
 
     v, f = lax.associative_scan(first_valid, (vals, valid),
                                 axis=vals.ndim - 1, reverse=True)
@@ -146,23 +153,24 @@ _SB = tuple(float(x) for x in c.SB)
 
 
 def _field_ab(tc0, m: float):
-    """Field et al. (2005) moment-regression coefficients (a_, b_) at
+    """Field et al. (2005) moment-regression coefficients (loga_, b_) at
     moment-order ``m`` (the pattern at f90:1556-1626 with static M)."""
     sa = _SA
     sb = _SB
     loga = (sa[0] + sa[1] * tc0 + sa[2] * m + sa[3] * tc0 * m
             + sa[4] * tc0 * tc0 + sa[5] * m * m + sa[6] * tc0 * tc0 * m
             + sa[7] * tc0 * m * m + sa[8] * tc0 ** 3 + sa[9] * m ** 3)
-    a = jnp.power(10.0, loga)
     b = (sb[0] + sb[1] * tc0 + sb[2] * m + sb[3] * tc0 * m
          + sb[4] * tc0 * tc0 + sb[5] * m * m + sb[6] * tc0 * tc0 * m
          + sb[7] * tc0 * m * m + sb[8] * tc0 ** 3 + sb[9] * m ** 3)
-    return a, b
+    return loga, b
 
 
-def _field_moment(smo2, tc0, m: float):
-    a, b = _field_ab(tc0, m)
-    return a * jnp.power(smo2, b)
+def _field_moment(log10_smo2, tc0, m: float):
+    # a_ * smo2**b_ == 10**(loga_ + b_*log10(smo2)): one exp per moment,
+    # the log10 shared across the 5-7 moment orders of a phase.
+    loga, b = _field_ab(tc0, m)
+    return exp10(loga + b * log10_smo2)
 
 
 def _snow_moments(rs, temp, l_qs, orders):
@@ -172,9 +180,10 @@ def _snow_moments(rs, temp, l_qs, orders):
     tc0 = jnp.minimum(-0.1, temp - 273.15)
     smob = rs * c.OAMS
     smo2 = smob  # bm_s == 2 branch (f90:1553-1554)
+    log10_smo2 = jnp.log(jnp.maximum(smo2, 1e-35)) * (1.0 / math.log(10.0))
     out = {"b": jnp.where(l_qs, smob, 0.0), "2": jnp.where(l_qs, smo2, 0.0)}
     for name, m in orders:
-        out[name] = jnp.where(l_qs, _field_moment(smo2, tc0, m), 0.0)
+        out[name] = jnp.where(l_qs, _field_moment(log10_smo2, tc0, m), 0.0)
     return out
 
 
@@ -190,23 +199,23 @@ def _graupel_psd(rg, temp, l_qr, mvd_r, nz):
     zans1 = 3.1 + (100.0 / (300.0 * xslw1 * ygra1
                             / (10.0 / xslw1 + 1.0 + 0.25 * ygra1)
                             + 30.0 + 10.0 * ygra1))
-    n0_exp = jnp.clip(jnp.power(10.0, zans1), c.GONV_MIN, c.GONV_MAX)
+    n0_exp = jnp.clip(exp10(zans1), c.GONV_MIN, c.GONV_MAX)
     # running minimum swept from the top (f90:1648-1649)
     n0_exp = lax.cummin(n0_exp, axis=n0_exp.ndim - 1, reverse=True)
-    lam_exp = jnp.power(n0_exp * c.AM_G * CGG[1] / rg, c.OGE1)
+    lam_exp = powc(n0_exp * c.AM_G * CGG[1] / rg, c.OGE1)
     lamg = lam_exp * (CGG[3] * c.OGG2 * c.OGG1) ** c.OBMG
     ilamg = 1.0 / lamg
-    n0_g = n0_exp / (CGG[2] * lam_exp) * jnp.power(lamg, CGE[2])
+    n0_g = n0_exp / (CGG[2] * lam_exp) * powc(lamg, CGE[2])
     return ilamg, n0_g
 
 
 def _rain_psd(rr, nr):
     """Rain slope/intercept for every level (f90:1661-1666); the reference
     runs this on the R1/R2 placeholders too, so no masking is needed."""
-    lamr = jnp.power(c.AM_R * CRG[3] * c.ORG2 * nr / rr, c.OBMR)
+    lamr = powc(c.AM_R * CRG[3] * c.ORG2 * nr / rr, c.OBMR)
     ilamr = 1.0 / lamr
     mvd_r = (3.0 + c.MU_R + 0.672) / lamr
-    n0_r = nr * c.ORG2 * jnp.power(lamr, CRE[2])
+    n0_r = nr * c.ORG2 * powc(lamr, CRE[2])
     return ilamr, mvd_r, n0_r
 
 
@@ -217,7 +226,7 @@ def _thermo(temp, pres, qv):
     rhof = jnp.sqrt(c.RHO_NOT / rho)
     rhof2 = jnp.sqrt(rhof)
     qvs = rslf(pres, temp)
-    diffu = 2.11e-5 * jnp.power(temp / 273.15, 1.94) * (101325.0 / pres)
+    diffu = 2.11e-5 * powc(temp / 273.15, 1.94) * (101325.0 / pres)
     visco = jnp.where(
         tempc >= 0.0,
         (1.718 + 0.0049 * tempc) * 1.0e-5,
@@ -318,14 +327,14 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     cf = _rows(nuc_coef, nu_c)
     ccg1_n, ccg2_n, ocg1_n, ocg2_n, cce2_n = (
         cf[..., 0], cf[..., 1], cf[..., 3], cf[..., 4], cf[..., 5])
-    lamc = jnp.power(nc_raw * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
+    lamc = powc(nc_raw * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
     xdc = (c.BM_R + nu_c.astype(dtype) + 1.0) / lamc
     lamc = jnp.where(xdc < c.D0C, cce2_n / c.D0C,
                      jnp.where(xdc > c.D0R * 2.0, cce2_n / (c.D0R * 2.0),
                                lamc))
     nc_cl = jnp.minimum(c.NT_C_MAX,
                         ccg1_n * ocg2_n * rc / c.AM_R
-                        * jnp.power(lamc, c.BM_R))
+                        * powc(lamc, c.BM_R))
     if not cfg.is_aerosol_aware:
         nc_cl = jnp.full_like(nc_cl, nt_c)        # f90:1410
     nc = jnp.where(l_qc, nc_cl, 2.0)
@@ -337,17 +346,17 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     ri = jnp.where(l_qi, qi1d * rho, c.R1)
     ni0 = jnp.maximum(c.R2, ni1d * rho)
     ni_fix = jnp.minimum(499.0e3, CIG[1] * c.OIG2 * ri / c.AM_I
-                         * jnp.power(CIE[2] / 25.0e-6, c.BM_I))
+                         * powc(CIE[2] / 25.0e-6, c.BM_I))
     ni1 = jnp.where(ni1d * rho <= c.R2, ni_fix, ni0)
-    lami = jnp.power(c.AM_I * CIG[2] * c.OIG1 * ni1 / ri, c.OBMI)
+    lami = powc(c.AM_I * CIG[2] * c.OIG1 * ni1 / ri, c.OBMI)
     xdi = (c.BM_I + c.MU_I + 1.0) / lami
     ni2 = jnp.where(
         xdi < 5.0e-6,
         jnp.minimum(499.0e3, CIG[1] * c.OIG2 * ri / c.AM_I
-                    * jnp.power(CIE[2] / 5.0e-6, c.BM_I)),
+                    * powc(CIE[2] / 5.0e-6, c.BM_I)),
         jnp.where(xdi > 300.0e-6,
                   CIG[1] * c.OIG2 * ri / c.AM_I
-                  * jnp.power(CIE[2] / 300.0e-6, c.BM_I),
+                  * powc(CIE[2] / 300.0e-6, c.BM_I),
                   ni1))
     ni = jnp.where(l_qi, ni2, c.R2)
 
@@ -360,10 +369,10 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
     def _nr_from_mvd(rr_, mvd):
         lam = (3.0 + c.MU_R + 0.672) / mvd
-        return CRG[2] * c.ORG3 * rr_ * jnp.power(lam, c.BM_R) / c.AM_R
+        return CRG[2] * c.ORG3 * rr_ * powc(lam, c.BM_R) / c.AM_R
 
     nr1 = jnp.where(nr1d * rho <= c.R2, _nr_from_mvd(rr, 1.0e-3), nr0)
-    lamr = jnp.power(c.AM_R * CRG[3] * c.ORG2 * nr1 / rr, c.OBMR)
+    lamr = powc(c.AM_R * CRG[3] * c.ORG2 * nr1 / rr, c.OBMR)
     mvd0 = (3.0 + c.MU_R + 0.672) / lamr
     nr2 = jnp.where(mvd0 > 2.5e-3, _nr_from_mvd(rr, 2.5e-3),
                     jnp.where(mvd0 < c.D0R * 0.75,
@@ -392,7 +401,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     ssati = sati - 1.0
     ssatw = jnp.where(jnp.abs(ssatw) < c.EPS, 0.0, ssatw)
     ssati = jnp.where(jnp.abs(ssati) < c.EPS, 0.0, ssati)
-    diffu = 2.11e-5 * jnp.power(temp / 273.15, 1.94) * (101325.0 / pres)
+    diffu = 2.11e-5 * powc(temp / 273.15, 1.94) * (101325.0 / pres)
     visco = jnp.where(tempc >= 0.0,
                       (1.718 + 0.0049 * tempc) * 1.0e-5,
                       (1.718 + 0.0049 * tempc - 1.2e-5 * tempc ** 2) * 1.0e-5)
@@ -431,14 +440,14 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     ccg1_n, ccg2_n, ccg3_n, ocg1_n, ocg2_n = (
         cf[..., 0], cf[..., 1], cf[..., 2], cf[..., 3], cf[..., 4])
     xdc = jnp.maximum(c.D0C * 1.0e6,
-                      jnp.power(rc / (c.AM_R * nc), c.OBMR) * 1.0e6)
-    lamc = jnp.power(nc * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
+                      powc(rc / (c.AM_R * nc), c.OBMR) * 1.0e6)
+    lamc = powc(nc * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
     mvd_c = jnp.where(l_qc, (3.0 + nu_c.astype(dtype) + 0.672) / lamc, c.D0C)
 
     # Berry & Reinhardt autoconversion (f90:1698-1712)
     au = rc > 0.01e-3
-    dc_g = jnp.power(ccg3_n * ocg2_n, c.OBMR) / lamc * 1.0e6
-    dc_b = jnp.power(_relu(xdc ** 3 * dc_g ** 3 - xdc ** 6), 1.0 / 6.0)
+    dc_g = powc(ccg3_n * ocg2_n, c.OBMR) / lamc * 1.0e6
+    dc_b = powc(_relu(xdc ** 3 * dc_g ** 3 - xdc ** 6), 1.0 / 6.0)
     zeta1 = _relu(6.25e-6 * xdc * dc_b ** 3 - 0.4)
     zeta = 0.027 * rc * zeta1
     taud = _relu(0.5 * dc_b - 7.5) + c.R1
@@ -455,7 +464,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     idx_cw = jnp.clip((mvd_c * 1.0e6).astype(jnp.int32), 1, c.NBC) - 1
     ef_rw = _lookup2d(tables.t_efrw, idx_rw, idx_cw)
     lamr = 1.0 / ilamr
-    geo_r = jnp.power(lamr + c.FV_R, -CRE[9])
+    geo_r = powc(lamr + c.FV_R, -CRE[9])
     prr_rcw = jnp.where(
         rcw, jnp.minimum(rc * odts,
                          rhof * c.T1_QR_QC * ef_rw * rc * n0_r * geo_r), 0.0)
@@ -486,25 +495,33 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         idx_tc = jnp.clip(fnint(-tempc).astype(jnp.int32), 1, 45) - 1
         idx_t0 = ((tempc - 2.5) / 5.0).astype(jnp.int32) - 1
         idx_t = jnp.clip(jnp.maximum(1, -idx_t0), 1, c.NTB_T) - 1
-        idx_c = jnp.where(rc > _RC1, decade_index(rc, c.NIC2, c.NTB_C), 0)
-        idx_i = jnp.where(ri > _RI1, decade_index(ri, c.NII2, c.NTB_I), 0)
-        idx_i1 = jnp.where(ni > _NTI1,
-                           decade_index(ni, c.NII3, c.NTB_I1), 0)
         has_r = rr > _RR1
-        idx_r = jnp.where(has_r, decade_index(rr, c.NIR2, c.NTB_R), 0)
-        lam_exp_r = (1.0 / ilamr) * (CRG[3] * c.ORG2 * c.ORG1) ** c.BM_R
-        n0_exp_r = c.ORG1 * rr / c.AM_R * jnp.power(lam_exp_r, CRE[1])
-        idx_r1 = jnp.where(has_r,
-                           decade_index(n0_exp_r, c.NIR3, c.NTB_R1),
-                           c.NTB_R1 - 1)
-        idx_s = jnp.where(rs > _RS1, decade_index(rs, c.NIS2, c.NTB_S), 0)
         has_g = rg > _RG1
-        idx_g = jnp.where(has_g, decade_index(rg, c.NIG2, c.NTB_G), 0)
+        lam_exp_r = (1.0 / ilamr) * (CRG[3] * c.ORG2 * c.ORG1) ** c.BM_R
+        n0_exp_r = c.ORG1 * rr / c.AM_R * powc(lam_exp_r, CRE[1])
         lam_exp_g = (1.0 / ilamg) * (CGG[3] * c.OGG2 * c.OGG1) ** c.BM_G
-        n0_exp_g = c.OGG1 * rg / c.AM_G * jnp.power(lam_exp_g, CGE[1])
-        idx_g1 = jnp.where(has_g,
-                           decade_index(n0_exp_g, c.NIG3, c.NTB_G1),
-                           c.NTB_G1 - 1)
+        n0_exp_g = c.OGG1 * rg / c.AM_G * powc(lam_exp_g, CGE[1])
+
+        # all 8 decade indices in ONE stacked call: the log10/pow chain
+        # runs once over an (8, ...) stack instead of fragmenting into 8
+        # small kernel groups (measured ~2x whole-step win on a v5e).
+        stack = jnp.stack([rc, ri, ni, rr, n0_exp_r, rs, rg, n0_exp_g])
+        shp = (8,) + (1,) * (state.qv.ndim)
+        n2v = jnp.asarray([c.NIC2, c.NII2, c.NII3, c.NIR2, c.NIR3,
+                           c.NIS2, c.NIG2, c.NIG3],
+                          jnp.int32).reshape(shp)
+        ntbv = jnp.asarray([c.NTB_C, c.NTB_I, c.NTB_I1, c.NTB_R,
+                            c.NTB_R1, c.NTB_S, c.NTB_G, c.NTB_G1],
+                           jnp.int32).reshape(shp)
+        idx8 = decade_index(stack, n2v, ntbv)
+        idx_c = jnp.where(rc > _RC1, idx8[0], 0)
+        idx_i = jnp.where(ri > _RI1, idx8[1], 0)
+        idx_i1 = jnp.where(ni > _NTI1, idx8[2], 0)
+        idx_r = jnp.where(has_r, idx8[3], 0)
+        idx_r1 = jnp.where(has_r, idx8[4], c.NTB_R1 - 1)
+        idx_s = jnp.where(rs > _RS1, idx8[5], 0)
+        idx_g = jnp.where(has_g, idx8[6], 0)
+        idx_g1 = jnp.where(has_g, idx8[7], c.NTB_G1 - 1)
 
         # sublimation/deposition prefactor (f90:1883-1900)
         t1_subl, rvs_i = _subl_prefactor(temp, qvsi, rho, diffu, tcond,
@@ -522,7 +539,13 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
         # graupel collecting cloud water (f90:1915-1935); nested in L_qc
         xdg = (c.BM_G + c.MU_G + 1.0) * ilamg
-        vtg_loc = rhof * c.AV_G * CGG[6] * c.OGG3 * jnp.power(ilamg, c.BV_G)
+        # ilamg^bv_g computed once; every other graupel exponent in this
+        # block is bv_g plus an integer/half-integer (cge(9)=bv_g+3,
+        # cge(11)=(bv_g+5)/2), so the whole family costs ONE pow.
+        g_bvg = powc(ilamg, c.BV_G)
+        g_cge9 = g_bvg * powc(ilamg, 3.0)
+        g_cge11 = jnp.sqrt(g_bvg * powc(ilamg, 5.0))
+        vtg_loc = rhof * c.AV_G * CGG[6] * c.OGG3 * g_bvg
         stoke_g = mvd_c * mvd_c * vtg_loc * c.RHO_W / (9.0 * visco * xdg)
         ef_gw = jnp.where(
             stoke_g >= 0.4,
@@ -530,7 +553,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                       0.55 * jnp.log10(2.51 * stoke_g), 0.77),
             0.0)
         gcw = (l_qc & (mvd_c > c.D0C) & (rg >= _RG1) & (xdg > c.D0G))
-        geo_g = jnp.power(ilamg, CGE[9])
+        geo_g = g_cge9
         prg_gcw = jnp.where(gcw, rhof * c.T1_QG_QC * ef_gw * rc
                             * n0_g * geo_g, 0.0)
         pnc_gcw = jnp.where(
@@ -638,10 +661,10 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         # (f90:2103-2111); pri_iha/pni_iha stay zero otherwise.
 
         # cloud-ice deposition/sublimation (f90:2115-2133)
-        lami = jnp.power(c.AM_I * CIG[2] * c.OIG1 * ni / ri, c.OBMI)
+        lami = powc(c.AM_I * CIG[2] * c.OIG1 * ni / ri, c.OBMI)
         ilami = 1.0 / lami
         xdi = jnp.maximum(c.D0I, (c.BM_I + c.MU_I + 1.0) * ilami)
-        xmi = c.AM_I * jnp.power(xdi, c.BM_I)
+        xmi = c.AM_I * powc(xdi, c.BM_I)
         oxmi = 1.0 / xmi
         ide0 = (c.C_CUBE * t1_subl * diffu * ssati * rvs_i
                 * c.OIG1 * CIG[5] * ni * ilami)
@@ -686,8 +709,8 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
         # graupel sublimation (cold branch requires ssati < -eps, f90:2166-2175)
         gde0 = (c.C_CUBE * t1_subl * diffu * ssati * rvs_i * n0_g
-                * (c.T1_QG_SD * jnp.power(ilamg, CGE[10])
-                   + c.T2_QG_SD * vsc2 * rhof2 * jnp.power(ilamg, CGE[11])))
+                * (c.T1_QG_SD * powc(ilamg, CGE[10])
+                   + c.T2_QG_SD * vsc2 * rhof2 * g_cge11))
         gde_lim = jnp.where(gde0 < 0.0,
                             jnp.maximum(jnp.maximum(-rg * odts, gde0),
                                         rate_max_i),
@@ -710,7 +733,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         prr_rci = jnp.where(
             rci_on,
             jnp.minimum(rr * odts, rhof * c.T2_QR_QI * c.EF_RI * ni * n0_r
-                        * jnp.power(lamr + c.FV_R, -CRE[8])), 0.0)
+                        * powc(lamr + c.FV_R, -CRE[8])), 0.0)
         prg_rci = jnp.where(rci_on, pri_rci + prr_rci, 0.0)
 
         # Hallett-Mossop rime splintering (f90:2204-2218)
@@ -747,7 +770,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
             melt & l_qs,
             jnp.minimum(smo0 * odts,
                         smo0 / jnp.maximum(rs, c.R1) * prr_sml
-                        * jnp.power(10.0, -0.25 * tempc)), 0.0)
+                        * exp10(-0.25 * tempc)), 0.0)
         # subsaturated snow in the melting layer sublimates (f90:2247-2252)
         prs_sde = jnp.where(melt & l_qs & (ssati < 0.0),
                             jnp.maximum(-rs * odts,
@@ -757,16 +780,16 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                                            * rhof2 * vsc2 * smof)),
                             prs_sde)
         gml0 = ((tempc * tcond - c.LVAP0 * diffu * delqvs) * n0_g
-                * (c.T1_QG_ME * jnp.power(ilamg, CGE[10])
-                   + c.T2_QG_ME * rhof2 * vsc2 * jnp.power(ilamg, CGE[11])))
+                * (c.T1_QG_ME * powc(ilamg, CGE[10])
+                   + c.T2_QG_ME * rhof2 * vsc2 * g_cge11))
         prr_gml = jnp.where(melt & l_qg,
                             jnp.minimum(rg * odts, jnp.maximum(0.0, gml0)),
                             0.0)
         pnr_gml = jnp.where(
             melt & l_qg,
-            n0_g * CGG[2] * jnp.power(ilamg, CGE[2])
+            n0_g * CGG[2] * powc(ilamg, CGE[2])
             / jnp.maximum(rg, c.R1) * prr_gml
-            * jnp.power(10.0, -0.5 * tempc), 0.0)
+            * exp10(-0.5 * tempc), 0.0)
         prg_gde = jnp.where(melt & l_qg & (ssati < 0.0),
                             jnp.maximum(-rg * odts, gde0), prg_gde)
         # long-timestep riming reroute (f90:2277-2281)
@@ -859,12 +882,12 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     cf = _rows(nuc_coef, nu_c)
     ccg1_n, ccg2_n, ocg1_n, ocg2_n, cce2_n = (
         cf[..., 0], cf[..., 1], cf[..., 3], cf[..., 4], cf[..., 5])
-    lamc = jnp.power(xnc * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
+    lamc = powc(xnc * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
     xdc = (c.BM_R + nu_c.astype(dtype) + 1.0) / lamc
     lamc_lo = cce2_n / c.D0C
     lamc_hi = cce2_n / (c.D0R * 2.0)
-    xnc_lo = ccg1_n * ocg2_n * xrc / c.AM_R * jnp.power(lamc_lo, c.BM_R)
-    xnc_hi = ccg1_n * ocg2_n * xrc / c.AM_R * jnp.power(lamc_hi, c.BM_R)
+    xnc_lo = ccg1_n * ocg2_n * xrc / c.AM_R * powc(lamc_lo, c.BM_R)
+    xnc_hi = ccg1_n * ocg2_n * xrc / c.AM_R * powc(lamc_hi, c.BM_R)
     ncten = jnp.where(
         xrc > c.R1,
         jnp.where(xdc < c.D0C, (xnc_lo - nc1d * rho) * odts * orho,
@@ -883,12 +906,12 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     # ice mass/number balance (f90:2464-2484)
     xri = jnp.maximum(c.R1, (qi1d + qiten * dt) * rho)
     xni = jnp.maximum(c.R2, (ni1d + niten * dt) * rho)
-    lami = jnp.power(c.AM_I * CIG[2] * c.OIG1 * xni / xri, c.OBMI)
+    lami = powc(c.AM_I * CIG[2] * c.OIG1 * xni / xri, c.OBMI)
     xdi = (c.BM_I + c.MU_I + 1.0) / lami
     xni_lo = jnp.minimum(499.0e3, CIG[1] * c.OIG2 * xri / c.AM_I
-                         * jnp.power(CIE[2] / 5.0e-6, c.BM_I))
+                         * powc(CIE[2] / 5.0e-6, c.BM_I))
     xni_hi = (CIG[1] * c.OIG2 * xri / c.AM_I
-              * jnp.power(CIE[2] / 300.0e-6, c.BM_I))
+              * powc(CIE[2] / 300.0e-6, c.BM_I))
     niten = jnp.where(
         xri > c.R1,
         jnp.where(xdi < 5.0e-6, (xni_lo - ni1d * rho) * odts * orho,
@@ -907,7 +930,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     # rain mass/number balance (f90:2515-2534)
     xrr = jnp.maximum(c.R1, (qr1d + qrten * dt) * rho)
     xnr = jnp.maximum(c.R2, (nr1d + nrten * dt) * rho)
-    lamr_b = jnp.power(c.AM_R * CRG[3] * c.ORG2 * xnr / xrr, c.OBMR)
+    lamr_b = powc(c.AM_R * CRG[3] * c.ORG2 * xnr / xrr, c.OBMR)
     mvd_b = (3.0 + c.MU_R + 0.672) / lamr_b
     xnr_hi = _nr_from_mvd(xrr, 2.5e-3)
     xnr_lo = _nr_from_mvd(xrr, c.D0R * 0.75)
@@ -952,7 +975,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     qvs = rslf(pres, temp)
     ssatw = qv / qvs - 1.0
     ssatw = jnp.where(jnp.abs(ssatw) < c.EPS, 0.0, ssatw)
-    diffu = 2.11e-5 * jnp.power(temp / 273.15, 1.94) * (101325.0 / pres)
+    diffu = 2.11e-5 * powc(temp / 273.15, 1.94) * (101325.0 / pres)
     visco = jnp.where(tempc >= 0.0,
                       (1.718 + 0.0049 * tempc) * 1.0e-5,
                       (1.718 + 0.0049 * tempc - 1.2e-5 * tempc ** 2) * 1.0e-5)
@@ -978,7 +1001,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     l_qr = (qr1d + qrten * dt) > c.R1
     rr = jnp.where(l_qr, (qr1d + qrten * dt) * rho, c.R1)
     nr0 = jnp.maximum(c.R2, (nr1d + nrten * dt) * rho)
-    lamr = jnp.power(c.AM_R * CRG[3] * c.ORG2 * nr0 / rr, c.OBMR)
+    lamr = powc(c.AM_R * CRG[3] * c.ORG2 * nr0 / rr, c.OBMR)
     mvd0 = (3.0 + c.MU_R + 0.672) / lamr
     nr2 = jnp.where(mvd0 > 2.5e-3, _nr_from_mvd(rr, 2.5e-3),
                     jnp.where(mvd0 < c.D0R * 0.75,
@@ -1051,7 +1074,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     # thermo locals recomputed inside the masked loop in the reference
     # (f90:2883-2897); persistent ones (lvap, ocp) update under the mask only
     rhof2_c = jnp.sqrt(jnp.sqrt(c.RHO_NOT * orho))
-    diffu_c = 2.11e-5 * jnp.power(temp / 273.15, 1.94) * (101325.0 / pres)
+    diffu_c = 2.11e-5 * powc(temp / 273.15, 1.94) * (101325.0 / pres)
     visco_c = jnp.where(
         tempc >= 0.0,
         (1.718 + 0.0049 * tempc) * 1.0e-5,
@@ -1068,9 +1091,9 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     lamr = 1.0 / ilamr
     quick = (qv / qvs < 0.95) & (rr * orho <= 1.0e-8)
     rev0 = (t1_evap * diffu_c * (-ssatw) * n0_r * rvs_w
-            * (c.T1_QR_EV * jnp.power(ilamr, CRE[10])
+            * (c.T1_QR_EV * powc(ilamr, CRE[10])
                + c.T2_QR_EV * vsc2_c * rhof2_c
-               * jnp.power(lamr + 0.5 * c.FV_R, -CRE[11])))
+               * powc(lamr + 0.5 * c.FV_R, -CRE[11])))
     rate_max = jnp.minimum(rr * orho * odts, (qvs - qv) * odts)
     rev1 = jnp.minimum(rate_max, rev0 * orho)
     # graupel-melt suppression factor (f90:2940-2943)
@@ -1160,13 +1183,13 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
     # rain (never gated by l_sediment; f90:3365-3399)
     valid_r = rr > c.R1
-    lamr = jnp.power(c.AM_R * CRG[3] * c.ORG2 * nr / rr, c.OBMR)
-    vtr_m = (rhof * c.AV_R * CRG[6] * c.ORG3 * jnp.power(lamr, CRE[3])
-             * jnp.power(lamr + c.FV_R, -CRE[6]))
+    lamr = powc(c.AM_R * CRG[3] * c.ORG2 * nr / rr, c.OBMR)
+    vtr_m = (rhof * c.AV_R * CRG[6] * c.ORG3 * powc(lamr, CRE[3])
+             * powc(lamr + c.FV_R, -CRE[6]))
     # deliberately slower number-weighted fall to curb size sorting
     # (f90:3229-3233)
-    vtr_n = (rhof * c.AV_R * CRG[7] / CRG[12] * jnp.power(lamr, CRE[12])
-             * jnp.power(lamr + c.FV_R, -CRE[7]))
+    vtr_n = (rhof * c.AV_R * CRG[7] / CRG[12] * powc(lamr, CRE[12])
+             * powc(lamr + c.FV_R, -CRE[7]))
     vtrk = _fill_down(vtr_m, valid_r)
     vtnrk = _fill_down(vtr_n, valid_r)
     vmax_r = jnp.maximum(vtrk, vtnrk)
@@ -1183,10 +1206,10 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
         # cloud ice (f90:3447-3480)
         valid_i = ri > c.R1
-        lami = jnp.power(c.AM_I * CIG[2] * c.OIG1 * ni / ri, c.OBMI)
+        lami = powc(c.AM_I * CIG[2] * c.OIG1 * ni / ri, c.OBMI)
         ilami = 1.0 / lami
-        vti_m = rhof * c.AV_I * CIG[3] * c.OIG2 * jnp.power(ilami, c.BV_I)
-        vti_n = rhof * c.AV_I * CIG[6] / CIG[7] * jnp.power(ilami, c.BV_I)
+        vti_m = rhof * c.AV_I * CIG[3] * c.OIG2 * powc(ilami, c.BV_I)
+        vti_n = rhof * c.AV_I * CIG[6] / CIG[7] * powc(ilami, c.BV_I)
         vtik = _fill_down(vti_m, valid_i)
         vtnik = _fill_down(vti_n, valid_i)
         ksed_i, nloop_i, onstep_i = _cfl(vtik > 1.0e-3, vtik)
@@ -1200,14 +1223,14 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         mrat = 1.0 / jnp.maximum(xds, 1e-30)
         ils1 = 1.0 / (mrat * c.LAM0 + c.FV_S)
         ils2 = 1.0 / (mrat * c.LAM1 + c.FV_S)
-        t1v = c.KAP0 * CSG[4] * jnp.power(ils1, CSE[4])
-        t2v = (c.KAP1 * jnp.power(mrat, c.MU_S) * CSG[10]
-               * jnp.power(ils2, CSE[10]))
+        t1v = c.KAP0 * CSG[4] * powc(ils1, CSE[4])
+        t2v = (c.KAP1 * powc(mrat, c.MU_S) * CSG[10]
+               * powc(ils2, CSE[10]))
         ils1 = 1.0 / (mrat * c.LAM0)
         ils2 = 1.0 / (mrat * c.LAM1)
-        t3v = c.KAP0 * CSG[1] * jnp.power(ils1, CSE[1])
-        t4v = (c.KAP1 * jnp.power(mrat, c.MU_S) * CSG[7]
-               * jnp.power(ils2, CSE[7]))
+        t3v = c.KAP0 * CSG[1] * powc(ils1, CSE[1])
+        t4v = (c.KAP1 * powc(mrat, c.MU_S) * CSG[7]
+               * powc(ils2, CSE[7]))
         vts = rhof * c.AV_S * (t1v + t2v) / (t3v + t4v)
         vts_melt = jnp.maximum(vts * vts_boost,
                                vts * ((vtrk - vts * vts_boost)
@@ -1221,7 +1244,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
         # graupel (f90:3321-3343, 3553-3578)
         valid_g = rg > c.R1
-        vtg = rhof * c.AV_G * CGG[6] * c.OGG3 * jnp.power(ilamg, c.BV_G)
+        vtg = rhof * c.AV_G * CGG[6] * c.OGG3 * powc(ilamg, c.BV_G)
         vtg_eff = jnp.where(temp > c.T_0, jnp.maximum(vtg, vtrk), vtg)
         vtgk = _fill_down(vtg_eff, valid_g)
         ksed_g, nloop_g, onstep_g = _cfl(vtgk > 1.0e-3, vtgk)
@@ -1271,38 +1294,38 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     cf = _rows(nuc_coef, nu_c)
     ccg1_n, ccg2_n, ocg1_n, ocg2_n, cce2_n = (
         cf[..., 0], cf[..., 1], cf[..., 3], cf[..., 4], cf[..., 5])
-    lamc = jnp.power(c.AM_R * ccg2_n * ocg1_n * nc_out
+    lamc = powc(c.AM_R * ccg2_n * ocg1_n * nc_out
                      / jnp.maximum(qc_out, c.R1), c.OBMR)
     xdc = (c.BM_R + nu_c.astype(dtype) + 1.0) / lamc
     lamc = jnp.where(xdc < c.D0C, cce2_n / c.D0C,
                      jnp.where(xdc > c.D0R * 2.0, cce2_n / (c.D0R * 2.0),
                                lamc))
     nc_renorm = jnp.minimum(ccg1_n * ocg2_n * qc_out / c.AM_R
-                            * jnp.power(lamc, c.BM_R), c.NT_C_MAX / rho)
+                            * powc(lamc, c.BM_R), c.NT_C_MAX / rho)
     qc_out = jnp.where(has_c, qc_out, 0.0)
     nc_out = jnp.where(has_c, nc_renorm, 0.0)
 
     qi_out = qi1d + qiten * dt
     ni_out = jnp.maximum(c.R2 / rho, ni1d + niten * dt)
     has_i = qi_out > c.R1
-    lami = jnp.power(c.AM_I * CIG[2] * c.OIG1 * ni_out
+    lami = powc(c.AM_I * CIG[2] * c.OIG1 * ni_out
                      / jnp.maximum(qi_out, c.R1), c.OBMI)
     xdi = (c.BM_I + c.MU_I + 1.0) / lami
     lami = jnp.where(xdi < 5.0e-6, CIE[2] / 5.0e-6,
                      jnp.where(xdi > 300.0e-6, CIE[2] / 300.0e-6, lami))
     ni_renorm = jnp.minimum(CIG[1] * c.OIG2 * qi_out / c.AM_I
-                            * jnp.power(lami, c.BM_I), 499.0e3 / rho)
+                            * powc(lami, c.BM_I), 499.0e3 / rho)
     qi_out = jnp.where(has_i, qi_out, 0.0)
     ni_out = jnp.where(has_i, ni_renorm, 0.0)
 
     qr_out = qr1d + qrten * dt
     nr_out = jnp.maximum(c.R2 / rho, nr1d + nrten * dt)
     has_r = qr_out > c.R1
-    lamr = jnp.power(c.AM_R * CRG[3] * c.ORG2 * nr_out
+    lamr = powc(c.AM_R * CRG[3] * c.ORG2 * nr_out
                      / jnp.maximum(qr_out, c.R1), c.OBMR)
     mvd_f = jnp.clip((3.0 + c.MU_R + 0.672) / lamr, c.D0R * 0.75, 2.5e-3)
     lamr = (3.0 + c.MU_R + 0.672) / mvd_f
-    nr_renorm = CRG[2] * c.ORG3 * qr_out * jnp.power(lamr, c.BM_R) / c.AM_R
+    nr_renorm = CRG[2] * c.ORG3 * qr_out * powc(lamr, c.BM_R) / c.AM_R
     qr_out = jnp.where(has_r, qr_out, 0.0)
     nr_out = jnp.where(has_r, nr_renorm, 0.0)
 

@@ -15,12 +15,19 @@ def fnint(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
-def decade_index(r, n2: int, ntb: int):
+def decade_index(r, n2, ntb):
     """0-based decade/mantissa index into a 1..9-per-decade axis.
 
     Matches f90:1762-1774 (and its clones): for r in [10^n, 10^(n+1)),
     1-based idx = INT(r/10^n) + 9*(n - n2), clamped to [1, ntb].
     Caller masks the ``r <= axis[0]`` case (reference returns 1 there).
+
+    ``n2``/``ntb`` may be arrays: the solver stacks all 8 index fields
+    into one call so the log10/exp chain runs once over the stack (8
+    separate calls fragment into many small kernels; measured much
+    slower on a v5e).  A table-lookup 10^n formulation was tried and was
+    7x SLOWER in context despite being faster standalone — the extra
+    tiny gathers fragment XLA fusion catastrophically.
     """
     r = jnp.maximum(r, 1e-38)
     n = jnp.floor(jnp.log10(r)).astype(jnp.int32)

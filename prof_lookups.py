@@ -17,8 +17,9 @@ def timeit(fn, *args, n=20):
     return (time.perf_counter() - t0) / n * 1e3  # ms
 
 
-idx = jax.random.randint(key, (ncol, nz), 0, 100)
-idx2 = jax.random.randint(key, (ncol, nz), 0, 100)
+k1, k2 = jax.random.split(key)
+idx = jax.random.randint(k1, (ncol, nz), 0, 100)
+idx2 = jax.random.randint(k2, (ncol, nz), 0, 100)
 tab2d = jax.random.normal(key, (100, 100), jnp.float32)
 racs = jax.random.normal(key, (28 * 9 * 37 * 37, 11), jnp.float32)
 lin = jax.random.randint(key, (ncol, nz), 0, racs.shape[0])
