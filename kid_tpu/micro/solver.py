@@ -30,6 +30,7 @@ from jax import lax
 from .. import constants as c
 from ..config import MicroConfig
 from ..special import rslf, rsif
+from .aerosol import activ_ncloud, eff_aero, ice_demott, ice_koop
 from .fastmath import exp10, powc
 from ..tables.builders import Tables
 from ..tables.index import decade_index, fnint, log_bin_index, tnc_index
@@ -78,6 +79,7 @@ class DeviceTables(NamedTuple):
     t_efrw: jax.Array  # (nbr, nbc)
     t_efsw: jax.Array  # (nbs, nbc)
     tnc_wev: jax.Array  # (nbc, ntb_c, nbc)
+    tnccn_act: jax.Array  # (7, 9, 7, 5, 4) CCN activation fraction
 
 
 def device_tables(tables: Tables, dtype=jnp.float32) -> DeviceTables:
@@ -92,7 +94,8 @@ def device_tables(tables: Tables, dtype=jnp.float32) -> DeviceTables:
         qcfz=stack(_QCFZ), iaus=stack(_IAUS),
         t_efrw=jnp.asarray(tables.t_efrw, dtype),
         t_efsw=jnp.asarray(tables.t_efsw, dtype),
-        tnc_wev=jnp.asarray(tables.tnc_wev, dtype))
+        tnc_wev=jnp.asarray(tables.tnc_wev, dtype),
+        tnccn_act=jnp.asarray(tables.tnccn_act, dtype))
 
 
 # nu_c-indexed gamma-coefficient columns [ccg1, ccg2, ccg3, ocg1, ocg2, cce2]
@@ -472,6 +475,21 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         rcw, jnp.minimum(nc * odts,
                          rhof * c.T1_QR_QC * ef_rw * nc * n0_r * geo_r), 0.0)
 
+    # rain collecting aerosols, wet scavenging (f90:1728-1740); only feeds
+    # nwfa/nifa tendencies, which exist solely in aerosol-aware mode
+    pna_rca = z; pnd_rcd = z; pna_sca = z; pnd_scd = z
+    pna_gca = z; pnd_gcd = z
+    if cfg.is_aerosol_aware:
+        rca_on = l_qr & (mvd_r > c.D0R)
+        ef_ra = eff_aero(mvd_r, 0.04e-6, visco, rho, temp, "r")
+        pna_rca = jnp.where(rca_on, jnp.minimum(
+            nwfa * odts, rhof * c.T1_QR_QC * ef_ra * nwfa * n0_r * geo_r),
+            0.0)
+        ef_rd = eff_aero(mvd_r, 0.8e-6, visco, rho, temp, "r")
+        pnd_rcd = jnp.where(rca_on, jnp.minimum(
+            nifa * odts, rhof * c.T1_QR_QC * ef_rd * nifa * n0_r * geo_r),
+            0.0)
+
     # ---- phase 9: ice-phase process rates (f90:1749-2286) -----------------
     pnc_scw = z; pnc_gcw = z
     pri_inu = z; pni_inu = z; pri_ihm = z; pni_ihm = z
@@ -560,6 +578,26 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
             gcw, jnp.minimum(nc * odts, rhof * c.T1_QG_QC * ef_gw * nc
                              * n0_g * geo_g), 0.0)
 
+        # snow/graupel collecting aerosols, wet scavenging (f90:1937-1959)
+        if cfg.is_aerosol_aware:
+            sca_on = rs > _RS1
+            xds_s = smoc / jnp.maximum(smob, 1e-30)
+            ef_sa = eff_aero(xds_s, 0.04e-6, visco, rho, temp, "s")
+            pna_sca = jnp.where(sca_on, jnp.minimum(
+                nwfa * odts, rhof * c.T1_QS_QC * ef_sa * nwfa * smoe), 0.0)
+            ef_sd = eff_aero(xds_s, 0.8e-6, visco, rho, temp, "s")
+            pnd_scd = jnp.where(sca_on, jnp.minimum(
+                nifa * odts, rhof * c.T1_QS_QC * ef_sd * nifa * smoe), 0.0)
+            gca_on = rg > _RG1
+            ef_ga = eff_aero(xdg, 0.04e-6, visco, rho, temp, "g")
+            pna_gca = jnp.where(gca_on, jnp.minimum(
+                nwfa * odts,
+                rhof * c.T1_QG_QC * ef_ga * nwfa * n0_g * geo_g), 0.0)
+            ef_gd = eff_aero(xdg, 0.8e-6, visco, rho, temp, "g")
+            pnd_gcd = jnp.where(gca_on, jnp.minimum(
+                nifa * odts,
+                rhof * c.T1_QG_QC * ef_gd * nifa * n0_g * geo_g), 0.0)
+
         # rain<->snow collection via the stacked 11-table family
         # (f90:1961-1997): ONE row gather per level instead of 11 scattered
         # gathers (order _RACS)
@@ -645,11 +683,15 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                         cv[..., 1] * odts),
             jnp.where(wfz_hom, nc * odts, 0.0))
 
-        # deposition-condensation ice nucleation (Cooper curve, f90:2088-2101)
+        # deposition-condensation ice nucleation: DeMott (2010) when
+        # dusty+aerosol-aware, else the Cooper curve (f90:2088-2101)
         inu = t_lt_0 & ((ssati >= 0.25) | ((ssatw > c.EPS)
                                            & (temp < 253.15)))
-        xnc_inu = jnp.minimum(250.0e3, c.TNO
-                              * jnp.exp(c.ATO * (c.T_0 - temp)))
+        if cfg.is_aerosol_aware and cfg.dusty_ice:
+            xnc_inu = ice_demott(tempc, qv, qvs, qvsi, rho, nifa)
+        else:
+            xnc_inu = jnp.minimum(250.0e3, c.TNO
+                                  * jnp.exp(c.ATO * (c.T_0 - temp)))
         xni_now = ni + (pni_rfz + pni_wfz) * dt
         pni_inu0 = 0.5 * (xnc_inu - xni_now
                           + jnp.abs(xnc_inu - xni_now)) * odts
@@ -657,8 +699,18 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                                              c.XM0I * pni_inu0), 0.0)
         pni_inu = jnp.where(inu, pri_inu / c.XM0I, 0.0)
 
-        # Koop homogeneous aerosol freezing requires aerosol-aware mode
-        # (f90:2103-2111); pri_iha/pni_iha stay zero otherwise.
+        # Koop (2001) homogeneous freezing of deliquesced aerosols
+        # (f90:2103-2111); aerosol-aware + homog_ice only.
+        if cfg.is_aerosol_aware and cfg.homog_ice:
+            xni_koop = smo0 + ni + (pni_rfz + pni_wfz + pni_inu) * dt
+            iha_on = (t_lt_0 & (xni_koop <= 500.0e3) & (temp < 238.0)
+                      & (ssati >= 0.4))
+            xnc_iha = ice_koop(temp, qv, qvs, nwfa, dt)
+            pni_iha0 = xnc_iha * odts
+            pri_iha = jnp.where(
+                iha_on, jnp.minimum(rate_max_i, c.XM0I * 0.1 * pni_iha0),
+                0.0)
+            pni_iha = jnp.where(iha_on, pri_iha / (c.XM0I * 0.1), 0.0)
 
         # cloud-ice deposition/sublimation (f90:2115-2133)
         lami = powc(c.AM_I * CIG[2] * c.OIG1 * ni / ri, c.OBMI)
@@ -962,8 +1014,15 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     tten = jnp.where(temp < c.T_0, tten_cold, tten_warm)
 
     # aerosol tendencies (only evolve in aerosol-aware mode; f90:2398-2408)
-    nwfaten = z
-    nifaten = z + 0.0
+    if cfg.is_aerosol_aware:
+        nwfaten = -(pna_rca + pna_sca + pna_gca + pni_iha) * orho
+        if cfg.dusty_ice:
+            nifaten = (-(pnd_rcd + pnd_scd + pnd_gcd) - pni_inu) * orho
+        else:
+            nifaten = z
+    else:
+        nwfaten = z
+        nifaten = z + 0.0
 
     # ---- phase 12: provisional state at t+dt (f90:2574-2656) --------------
     temp = t1d + dt * tten
@@ -1036,10 +1095,38 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         clap = clap - fcd / dfcd
     xrc = rc + clap * rho
     prw_vcd_pos = clap * odt
-    xnc_act = nt_c  # activ_ncloud degenerates to NCCN*1.0; non-aerosol: Nt_c
+    if cfg.is_aerosol_aware:
+        # explicit CCN activation from the parcel-model table (f90:2795-2801)
+        xnc_act = jnp.maximum(2.0, activ_ncloud(temp, w1d, nwfa,
+                                                tables.tnccn_act))
+    else:
+        xnc_act = nt_c      # activ_ncloud degenerates to NCCN*1.0
     pnc_wcd_pos = jnp.where(clap > c.EPS,
                             0.5 * (xnc_act - nc + jnp.abs(xnc_act - nc))
                             * odts * orho, 0.0)
+    if cfg.is_aerosol_aware:
+        # evaporate the explicit number of drops smaller than Dc_star
+        # via the tnc_wev lookup (f90:2804-2851)
+        evap_br = (clap < -c.EPS) & (ssatw < -1.0e-6)
+        t1_evd, rvs_wd = _subl_prefactor(temp, qvs, rho, diffu, tcond,
+                                         ssatw, lvap, 2.0 * c.PI)
+        dc_star = jnp.sqrt(jnp.maximum(
+            0.0, -2.0 * dt * t1_evd / (2.0 * c.PI) * 4.0 * diffu * ssatw
+            * rvs_wd / c.RHO_W))
+        idx_d = jnp.clip((1.0e6 * dc_star).astype(jnp.int32), 1,
+                         c.NBC) - 1
+        idx_n = tnc_index(nc, float(c.T_NC[0]), c.NIC1, c.NBC)
+        idx_ce = jnp.where(rc > _RC1,
+                           decade_index(rc, c.NIC2, c.NTB_C), 0)
+        wev = tables.tnc_wev[idx_d, idx_ce, idx_n]
+        pnc_wcd_pos = jnp.where(
+            evap_br,
+            jnp.maximum(-nc * 0.99 * orho * odt, -wev * orho * odt),
+            pnc_wcd_pos)
+        prw_vcd_pos = jnp.where(
+            evap_br,
+            jnp.maximum(-rc * 0.99 * orho * odt, prw_vcd_pos),
+            prw_vcd_pos)
     # full-evaporation branch (xrc <= R1, f90:2853-2856)
     prw_vcd = jnp.where(xrc > c.R1, prw_vcd_pos, -rc * orho * odt)
     pnc_wcd = jnp.where(xrc > c.R1, pnc_wcd_pos, -nc * orho * odt)

@@ -85,6 +85,98 @@ def _field_ab(tc0, m):
     return 10.0 ** loga, b
 
 
+def _eff_aero(d, da, visc, rhoa, temp, species):
+    """Slinn/Wang aerosol scavenging efficiency (f90:4354-4390), scalar."""
+    boltzman = 1.3806503e-23
+    mean_path = 0.0256e-6
+    if species == "r":
+        vt = (-0.1021 + 4.932e3 * d - 0.9551e6 * d * d
+              + 0.07934e9 * d ** 3 - 0.002362e12 * d ** 4)
+    elif species == "s":
+        vt = c.AV_S * d ** c.BV_S
+    else:
+        vt = c.AV_G * d ** c.BV_G
+    cc = 1.0 + 2.0 * mean_path / da * (1.257
+                                       + 0.4 * math.exp(-0.55 * da
+                                                        / mean_path))
+    diff = boltzman * temp * cc / (3.0 * c.PI * visc * da)
+    re = 0.5 * rhoa * d * vt / visc
+    sc = visc / (rhoa * diff)
+    st = da * da * vt * 1000.0 / (9.0 * visc * d)
+    aval = 1.0 + math.log(1.0 + re)
+    st2 = (1.2 + 1.0 / 12.0 * aval) / (1.0 + aval)
+    eff = (4.0 / (re * sc) * (1.0 + 0.4 * math.sqrt(re) * sc ** (1 / 3)
+                              + 0.16 * math.sqrt(re) * math.sqrt(sc))
+           + 4.0 * da / d * (0.02 + da / d * (1.0 + 2.0 * math.sqrt(re))))
+    if st > st2:
+        eff = eff + ((st - st2) / (st - st2 + 0.666667)) ** 1.5
+    return max(1.0e-5, min(eff, 1.0))
+
+
+def _activ_ncloud(tt, ww, nccn, tnccn_act):
+    """CCN activation, bilinear log-interp (f90:4451-4526), scalar."""
+    ta_na, ta_ww, ta_tk = c.TA_NA, c.TA_WW, c.TA_TK
+    ntb_arc, ntb_arw, ntb_art = c.NTB_ARC, c.NTB_ARW, c.NTB_ART
+    n_local = nccn * 1.0e-6
+    w_local = ww
+    if n_local >= ta_na[ntb_arc - 1]:
+        n_local = ta_na[ntb_arc - 1] - 1.0
+    elif n_local <= ta_na[0]:
+        n_local = ta_na[0] + 1.0
+    i = ntb_arc - 1
+    for n in range(1, ntb_arc):
+        if ta_na[n - 1] <= n_local < ta_na[n]:
+            i = n
+            break
+    x1, x2 = math.log(ta_na[i - 1]), math.log(ta_na[i])
+    if w_local >= ta_ww[ntb_arw - 1]:
+        w_local = ta_ww[ntb_arw - 1] - 1.0
+    elif w_local <= ta_ww[0]:
+        w_local = ta_ww[0] + 0.001
+    j = ntb_arw - 1
+    for n in range(1, ntb_arw):
+        if ta_ww[n - 1] <= w_local < ta_ww[n]:
+            j = n
+            break
+    y1, y2 = math.log(ta_ww[j - 1]), math.log(ta_ww[j])
+    k = max(1, min(_nint((tt - ta_tk[0]) * 0.1) + 1, ntb_art))
+    ll, m = 3, 2     # fixed radius/kappa rows (f90:4502-4503), 1-based
+    a = tnccn_act[i - 1, j - 1, k - 1, ll - 1, m - 1]
+    b = tnccn_act[i, j - 1, k - 1, ll - 1, m - 1]
+    cc_ = tnccn_act[i, j, k - 1, ll - 1, m - 1]
+    d_ = tnccn_act[i - 1, j, k - 1, ll - 1, m - 1]
+    t = (math.log(n_local) - x1) / (x2 - x1)
+    u = (math.log(w_local) - y1) / (y2 - y1)
+    frac = ((1.0 - t) * (1.0 - u) * a + t * (1.0 - u) * b + t * u * cc_
+            + (1.0 - t) * u * d_)
+    return nccn * frac
+
+
+def _ice_demott(tempc, qv, qvs, qvsi, rho, nifa):
+    """DeMott et al. (2010) IN count (f90:4720-4756), scalar."""
+    rho_not0 = 101325.0 / (287.05 * 273.15)
+    nifa_cc = nifa * rho_not0 * 1.0e-6 / rho
+    xni = (5.94e-5 * (-tempc) ** 3.33
+           * nifa_cc ** ((-0.0264 * tempc) + 0.0033))
+    xni = xni * rho / rho_not0 * 1000.0
+    return max(0.0, xni)
+
+
+def _ice_koop(temp, qv, qvs, naero, dt):
+    """Koop et al. (2001) homogeneous freezing (f90:4764-4789), scalar."""
+    satw = qv / qvs
+    mu_diff = (210368.0 + 131.438 * temp - 3.32373e6 / temp
+               - 41729.1 * math.log(temp))
+    a_w_i = math.exp(mu_diff / (c.R_UNI * temp))
+    delta_aw = satw - a_w_i
+    log_j = (-906.7 + 8502.0 * delta_aw - 26924.0 * delta_aw ** 2
+             + 29180.0 * delta_aw ** 3)
+    j_rate = 10.0 ** min(20.0, log_j)
+    prob_h = min(1.0 - math.exp(-j_rate * c.AR_VOLUME * dt), 1.0)
+    xni = min(prob_h * naero, 1000.0e3) if prob_h > 0.0 else 0.0
+    return max(0.0, xni)
+
+
 # Fortran-style aliases for the gamma caches (1-based access preserved).
 ccg, cce = c.CCG, c.CCE
 ocg1, ocg2 = c.OCG1, c.OCG2
@@ -97,7 +189,8 @@ cgg, cge = c.CGG, c.CGE
 def mp_thompson_oracle(qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
                        nc1d, nwfa1d, nifa1d, t1d, p1d, w1d, dzq, dt,
                        tables, *, iiwarm=False, l_sediment=True,
-                       set_nc=100.0, is_aerosol_aware=False, ifdry=0):
+                       set_nc=100.0, is_aerosol_aware=False, ifdry=0,
+                       dusty_ice=True, homog_ice=True):
     """One column, one timestep of mp_thompson (f90:1156-3688), fp64.
 
     Args mirror the Fortran dummy arguments (bottom = index 0 = kts);
@@ -106,9 +199,6 @@ def mp_thompson_oracle(qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     prognostics plus pptrain/pptsnow/pptgraul/pptice [same units as the
     reference: m of fallen water-equivalent per rho_w scaling at kts].
     """
-    if is_aerosol_aware:
-        raise NotImplementedError("aerosol-aware oracle not yet built")
-
     nz = len(qv1d)
     kts, kte = 0, nz - 1
     Nt_c = set_nc * 1.0e6
@@ -135,6 +225,8 @@ def mp_thompson_oracle(qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     niten, nrten, ncten, nwfaten, nifaten = z(), z(), z(), z(), z()
     prw_vcd = z()
     pnc_wcd, pnc_wau, pnc_rcw, pnc_scw, pnc_gcw = z(), z(), z(), z(), z()
+    pna_rca, pna_sca, pna_gca = z(), z(), z()
+    pnd_rcd, pnd_scd, pnd_gcd = z(), z(), z()
     prv_rev, prr_wau, prr_rcw, prr_rcs = z(), z(), z(), z()
     prr_rcg, prr_sml, prr_gml, prr_rci = z(), z(), z(), z()
     pnr_wau, pnr_rcs, pnr_rcg, pnr_rci = z(), z(), z(), z()
@@ -417,8 +509,21 @@ def mp_thompson_oracle(qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
             pnc_rcw[k] = min(nc[k] * odts,
                              rhof[k] * c.T1_QR_QC * Ef_rw * nc[k]
                              * N0_r[k] * geo)
-        # aerosol wet scavenging (f90:1728-1740) only affects nwfa/nifa
-        # tendencies, which are gated by is_aerosol_aware — skipped here.
+        # rain collecting aerosols, wet scavenging (f90:1728-1740); only
+        # feeds the aerosol-aware nwfa/nifa tendencies.
+        if is_aerosol_aware and L_qr[k] and mvd_r[k] > c.D0R:
+            lamr = 1.0 / ilamr[k]
+            geo = (lamr + c.FV_R) ** (-cre[9])
+            ef_ra = _eff_aero(mvd_r[k], 0.04e-6, visco[k], rho[k],
+                              temp[k], "r")
+            pna_rca[k] = min(nwfa[k] * odts,
+                             rhof[k] * c.T1_QR_QC * ef_ra * nwfa[k]
+                             * N0_r[k] * geo)
+            ef_rd = _eff_aero(mvd_r[k], 0.8e-6, visco[k], rho[k],
+                              temp[k], "r")
+            pnd_rcd[k] = min(nifa[k] * odts,
+                             rhof[k] * c.T1_QR_QC * ef_rd * nifa[k]
+                             * N0_r[k] * geo)
 
     # ---- frozen-species process rates (f90:1749-2286) ----------------------
     if not iiwarm:
@@ -517,6 +622,35 @@ def mp_thompson_oracle(qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
                                          * nc[k] * N0_g[k]
                                          * ilamg[k] ** cge[9])
 
+            # snow/graupel collecting aerosols (f90:1937-1959)
+            if is_aerosol_aware:
+                if rs[k] > c.R_S_AXIS[0]:
+                    xDs = smoc[k] / smob[k]
+                    ef_sa = _eff_aero(xDs, 0.04e-6, visco[k], rho[k],
+                                      temp[k], "s")
+                    pna_sca[k] = min(nwfa[k] * odts,
+                                     rhof[k] * c.T1_QS_QC * ef_sa
+                                     * nwfa[k] * smoe[k])
+                    ef_sd = _eff_aero(xDs, 0.8e-6, visco[k], rho[k],
+                                      temp[k], "s")
+                    pnd_scd[k] = min(nifa[k] * odts,
+                                     rhof[k] * c.T1_QS_QC * ef_sd
+                                     * nifa[k] * smoe[k])
+                if rg[k] > c.R_G_AXIS[0]:
+                    xDg = (c.BM_G + c.MU_G + 1.0) * ilamg[k]
+                    ef_ga = _eff_aero(xDg, 0.04e-6, visco[k], rho[k],
+                                      temp[k], "g")
+                    pna_gca[k] = min(nwfa[k] * odts,
+                                     rhof[k] * c.T1_QG_QC * ef_ga
+                                     * nwfa[k] * N0_g[k]
+                                     * ilamg[k] ** cge[9])
+                    ef_gd = _eff_aero(xDg, 0.8e-6, visco[k], rho[k],
+                                      temp[k], "g")
+                    pnd_gcd[k] = min(nifa[k] * odts,
+                                     rhof[k] * c.T1_QG_QC * ef_gd
+                                     * nifa[k] * N0_g[k]
+                                     * ilamg[k] ** cge[9])
+
             # rain<->snow collection via tables (f90:1961-1997)
             if rr[k] >= c.R_R_AXIS[0]:
                 js, jt, jr1, jr = idx_s - 1, idx_t - 1, idx_r1 - 1, \
@@ -606,15 +740,31 @@ def mp_thompson_oracle(qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
                 # deposition-condensation nucleation, Cooper (f90:2088-2101)
                 if ssati[k] >= 0.25 or (ssatw[k] > eps
                                         and temp[k] < 253.15):
-                    xnc = min(250.0e3,
-                              c.TNO * math.exp(c.ATO * (T_0 - temp[k])))
+                    if dusty_ice and is_aerosol_aware:
+                        xnc = _ice_demott(tempc, qv[k], qvs[k], qvsi[k],
+                                          rho[k], nifa[k])
+                    else:
+                        xnc = min(250.0e3,
+                                  c.TNO * math.exp(c.ATO
+                                                   * (T_0 - temp[k])))
                     xni = ni[k] + (pni_rfz[k] + pni_wfz[k]) * dtsave
                     pni_inu[k] = 0.5 * (xnc - xni
                                         + abs(xnc - xni)) * odts
                     pri_inu[k] = min(rate_max, c.XM0I * pni_inu[k])
                     pni_inu[k] = pri_inu[k] / c.XM0I
-                # Koop homogeneous freezing is aerosol-aware-only
-                # (f90:2103-2111) -> pri_iha/pni_iha stay zero.
+
+                # Koop homogeneous freezing of aqueous aerosols
+                # (f90:2103-2111)
+                xni = (smo0[k] + ni[k] + (pni_rfz[k] + pni_wfz[k]
+                                          + pni_inu[k]) * dtsave)
+                if (is_aerosol_aware and homog_ice and xni <= 500.0e3
+                        and temp[k] < 238.0 and ssati[k] >= 0.4):
+                    xnc = _ice_koop(temp[k], qv[k], qvs[k], nwfa[k],
+                                    dtsave)
+                    pni_iha[k] = xnc * odts
+                    pri_iha[k] = min(rate_max,
+                                     c.XM0I * 0.1 * pni_iha[k])
+                    pni_iha[k] = pri_iha[k] / (c.XM0I * 0.1)
 
                 # cloud-ice deposition/sublimation (f90:2115-2148)
                 if L_qi[k]:
@@ -856,8 +1006,15 @@ def mp_thompson_oracle(qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     for k in range(nz):
         orho = 1.0 / rho[k]
         lfus2 = c.LSUB - lvap[k]
-        # aerosol number tendencies are gated by is_aerosol_aware
-        # (f90:2398-2408) -> zero here.
+        # aerosol number tendencies (f90:2398-2408)
+        if is_aerosol_aware:
+            nwfaten[k] -= (pna_rca[k] + pna_sca[k] + pna_gca[k]
+                           + pni_iha[k]) * orho
+            nifaten[k] -= (pnd_rcd[k] + pnd_scd[k] + pnd_gcd[k]) * orho
+            if dusty_ice:
+                nifaten[k] -= pni_inu[k] * orho
+            else:
+                nifaten[k] = 0.0
 
         qvten[k] += (-pri_inu[k] - pri_iha[k] - pri_ide[k] - prs_ide[k]
                      - prs_sde[k] - prg_gde[k]) * orho
@@ -1106,11 +1263,57 @@ def mp_thompson_oracle(qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
             if xrc > R1:
                 prw_vcd[k] = clap * odt
                 if clap > eps:
-                    xnc = Nt_c  # non-aerosol (f90:2795-2801)
+                    if is_aerosol_aware:
+                        xnc = max(2.0, _activ_ncloud(temp[k], w1d[k],
+                                                     nwfa[k],
+                                                     tables.tnccn_act))
+                    else:
+                        xnc = Nt_c          # f90:2795-2801
                     pnc_wcd[k] = (0.5 * (xnc - nc[k] + abs(xnc - nc[k]))
                                   * odts * orho)
-                # the clap < -eps aerosol evaporation branch (tnc_wev,
-                # f90:2804-2851) requires is_aerosol_aware -> skipped.
+                elif (clap < -eps and ssatw[k] < -1.0e-6
+                      and is_aerosol_aware):
+                    # evaporate drops smaller than Dc_star via tnc_wev
+                    # (f90:2804-2851)
+                    tempc = temp[k] - 273.15
+                    otemp = 1.0 / temp[k]
+                    rvs = rho[k] * qvs[k]
+                    rvs_p = rvs * otemp * (lvap[k] * otemp * c.ORV - 1.0)
+                    rvs_pp = rvs * (otemp * (lvap[k] * otemp * c.ORV
+                                             - 1.0)
+                                    * otemp * (lvap[k] * otemp * c.ORV
+                                               - 1.0)
+                                    + (-2.0 * lvap[k] * otemp ** 3
+                                       * c.ORV) + otemp * otemp)
+                    gamsc = lvap[k] * diffu[k] / tcond[k] * rvs_p
+                    alphsc = (0.5 * (gamsc / (1.0 + gamsc)) ** 2
+                              * rvs_pp / rvs_p * rvs / rvs_p)
+                    alphsc = max(1.0e-9, alphsc)
+                    xsat = ssatw[k]
+                    if abs(xsat) < 1.0e-9:
+                        xsat = 0.0
+                    t1_evap = (2.0 * c.PI
+                               * (1.0 - alphsc * xsat
+                                  + 2.0 * alphsc ** 2 * xsat ** 2
+                                  - 5.0 * alphsc ** 3 * xsat ** 3)
+                               / (1.0 + gamsc))
+                    dc_star = math.sqrt(
+                        -2.0 * dt * t1_evap / (2.0 * c.PI) * 4.0
+                        * diffu[k] * ssatw[k] * rvs / c.RHO_W)
+                    idx_d = max(1, min(int(1.0e6 * dc_star), c.NBC))
+                    idx_n = _nint(1.0 + float(c.NBC)
+                                  * math.log(nc[k] / c.T_NC[0])
+                                  / c.NIC1)
+                    idx_n = max(1, min(idx_n, c.NBC))
+                    idx_c = (_decade_idx(rc[k], c.NIC2, c.NTB_C)
+                             if rc[k] > c.R_C_AXIS[0] else 1)
+                    prw_vcd[k] = max(-rc[k] * 0.99 * orho * odt,
+                                     prw_vcd[k])
+                    pnc_wcd[k] = max(-nc[k] * 0.99 * orho * odt,
+                                     -tables.tnc_wev[idx_d - 1,
+                                                     idx_c - 1,
+                                                     idx_n - 1]
+                                     * orho * odt)
             else:
                 prw_vcd[k] = -rc[k] * orho * odt
                 pnc_wcd[k] = -nc[k] * orho * odt
@@ -1548,6 +1751,10 @@ def mp_thompson_oracle(qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
             ("pnc_gcw", pnc_gcw), ("prg_ihm", prg_ihm),
             ("prr_sml", prr_sml), ("pnr_sml", pnr_sml),
             ("prr_gml", prr_gml), ("pnr_gml", pnr_gml),
+            ("pri_iha", pri_iha), ("pni_iha", pni_iha),
+            ("pna_rca", pna_rca), ("pna_sca", pna_sca),
+            ("pna_gca", pna_gca), ("pnd_rcd", pnd_rcd),
+            ("pnd_scd", pnd_scd), ("pnd_gcd", pnd_gcd),
             ("tten", tten), ("qvten", qvten), ("qcten", qcten),
             ("qiten", qiten), ("qrten", qrten), ("qsten", qsten),
             ("qgten", qgten), ("niten", niten), ("nrten", nrten),

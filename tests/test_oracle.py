@@ -134,6 +134,62 @@ def test_single_step_warm(seed):
     _compare(out, want, context=f"warm seed={seed}")
 
 
+@pytest.mark.parametrize("seed", [3, 11])
+def test_single_step_aerosol(tables, tables_dev, seed):
+    """Aerosol-aware mode: solver vs oracle, incl. nc/nwfa/nifa."""
+    cfg = MicroConfig(iiwarm=False, dtype="float64",
+                      is_aerosol_aware=True)
+    prof = _profile(NZ, seed)
+    rng = np.random.default_rng(seed + 100)
+    prof["w"] = np.abs(rng.normal(0.5, 0.5, NZ))
+    prof["nwfa"] = np.full(NZ, 500.0e6) / (0.622 * prof["p"] / (
+        287.04 * prof["t"] * (prof["qv"] + 0.622)))
+    prof["nifa"] = np.full(NZ, 2.0e6)
+    # carry a real prognostic nc
+    prof["nc"] = np.where(prof["qc"] > 0, 150.0e6, 10.0e6) / 1.1
+    out, ppt = _run_jax(prof, 10.0, cfg, tables_dev)
+    want = _run_oracle(prof, 10.0, tables, iiwarm=False,
+                       is_aerosol_aware=True)
+    _compare(out, want, context=f"aerosol seed={seed}")
+    for f, key in [("nc", "nc1d"), ("nwfa", "nwfa1d"),
+                   ("nifa", "nifa1d")]:
+        got = np.asarray(getattr(out, f), np.float64)
+        w = np.asarray(want[key], np.float64)
+        atol = max(w.max(), 1e-12) * 1e-7
+        np.testing.assert_allclose(got, w, rtol=1e-4, atol=atol,
+                                   err_msg=f"aerosol field {f}")
+
+
+def test_aerosol_cold_nucleation(tables, tables_dev):
+    """Very cold, ice-supersaturated column exercises DeMott + Koop."""
+    nz = 32
+    t = np.linspace(236.0, 215.0, nz)
+    p = np.linspace(40000.0, 15000.0, nz)
+    from kid_tpu.validation.oracle import rsif as _rsif
+    qvsi = np.array([_rsif(pp, tt) for pp, tt in zip(p, t)])
+    prof = dict(
+        t=t, p=p, qv=1.5 * qvsi, qc=np.zeros(nz), qr=np.zeros(nz),
+        qi=np.full(nz, 2e-6), qs=np.zeros(nz), qg=np.zeros(nz),
+        ni=np.full(nz, 1e3), nr=np.zeros(nz),
+        nc=np.full(nz, 5e7), nwfa=np.full(nz, 300e6),
+        nifa=np.full(nz, 5e6), dz=np.full(nz, 300.0),
+        w=np.full(nz, 0.2))
+    cfg = MicroConfig(iiwarm=False, dtype="float64",
+                      is_aerosol_aware=True)
+    out, _ = _run_jax(prof, 10.0, cfg, tables_dev)
+    want = _run_oracle(prof, 10.0, tables, iiwarm=False,
+                       is_aerosol_aware=True)
+    assert max(want["rates"]["pri_iha"].max(),
+               want["rates"]["pri_inu"].max()) > 0.0, \
+        "profile failed to trigger aerosol ice nucleation"
+    for f in FIELDS:
+        got = np.asarray(getattr(out, f), np.float64)
+        w = np.asarray(want[ORACLE_KEYS[f]], np.float64)
+        atol = max(w.max(), 1e-12) * 1e-7
+        np.testing.assert_allclose(got, w, rtol=1e-4, atol=atol,
+                                   err_msg=f"cold aerosol field {f}")
+
+
 def test_multistep_mixed(tables, tables_dev):
     """30 coupled steps: the drift test the accuracy target describes."""
     cfg = MicroConfig(iiwarm=False, dtype="float64")
