@@ -44,20 +44,23 @@ def effective_radii(t, p, qv, qc, nc, qi, ni, qs, nt_c: float,
                                                + 2).astype(jnp.int32))))
     gr = G_RATIO[jnp.clip(inu, 2, 15) - 1]
     lamc = jnp.power(nc_ * c.AM_R * gr / rc, c.OBMR)
-    re_qc = jnp.clip(0.5 * (3.0 + inu) / lamc, 2.49e-6, 50.0e-6)
+    # active floor 2.51 um (f90:4884), inactive default 2.49 um (the value
+    # the WRF driver presets before the CYCLE'd levels)
+    re_qc = jnp.clip(0.5 * (3.0 + inu) / lamc, 2.51e-6, 50.0e-6)
     re_qc = jnp.where((rc > c.R1) & (nc_ > c.R2), re_qc, 2.49e-6)
 
     # ice (f90:4887-4893)
     lami = jnp.power(c.AM_I * CIG[2] * c.OIG1 * ni_ / ri, c.OBMI)
-    re_qi = jnp.clip(0.5 * (3.0 + c.MU_I) / lami, 4.99e-6, 125.0e-6)
+    re_qi = jnp.clip(0.5 * (3.0 + c.MU_I) / lami, 5.01e-6, 125.0e-6)
     re_qi = jnp.where((ri > c.R1) & (ni_ > c.R2), re_qi, 4.99e-6)
 
     # snow via Field moments (f90:4895-4932)
     tc0 = jnp.minimum(-0.1, t - 273.15)
     smob = rs * c.OAMS
-    smoc = _field_moment(smob, tc0, float(c.CSE[1]))
+    smoc = _field_moment(jnp.log10(jnp.maximum(smob, 1e-35)), tc0,
+                         float(c.CSE[1]))
     re_qs = jnp.clip(0.5 * smoc / jnp.maximum(smob, 1e-30),
-                     9.99e-6, 999.0e-6)
+                     10.0e-6, 999.0e-6)
     re_qs = jnp.where(rs > c.R1, re_qs, 9.99e-6)
     return re_qc, re_qi, re_qs
 
@@ -83,7 +86,8 @@ def refl_10cm(qv, qc, qr, nr, qs, qg, t, p, iiwarm: bool = False):
     # snow moments incl. the bm_s*2 reflectivity moment (f90:5033-5081)
     tc0 = jnp.minimum(-0.1, temp - 273.15)
     smob = rs * c.OAMS
-    smoz = _field_moment(smob, tc0, float(c.CSE[3]))
+    smoz = _field_moment(jnp.log10(jnp.maximum(smob, 1e-35)), tc0,
+                         float(c.CSE[3]))
 
     # graupel N0 scan — reference refl variant keys on temp<270.65
     # (f90:5089), vs the solver's k>k_0; reproduce the refl variant

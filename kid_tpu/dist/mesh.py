@@ -26,12 +26,9 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from .. import constants as c
-from ..micro import ColumnState, batched_microphysics
-from ..driver.advection import (advective_tendency_x_padded,
-                                advective_tendency_z,
-                                divergence_tendency_z)
-from ..driver.loop import KidState, StepOutputs
+from ..driver.advection import advective_tendency_x_padded
+from ..driver.loop import (KidState, StepOutputs, make_step,
+                           resolve_profile_names)
 
 from jax import shard_map as _shard_map_new
 
@@ -49,17 +46,23 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 
-def halo_exchange_x(q, axis_name: str = AXIS, width: int = 2):
+def halo_exchange_x(q, axis_name: str = AXIS, width: int = 2,
+                    axis: int = 0):
     """Ring exchange of ``width`` edge columns with both neighbors.
 
     Returns (from_left, from_right): the left neighbor's rightmost and the
     right neighbor's leftmost ``width`` columns (periodic global domain).
+    ``axis`` selects which array axis holds the sharded columns, so a whole
+    tracer stack (9, nloc, nz) exchanges with ONE ppermute pair.
     """
     n = lax.axis_size(axis_name)
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [(i, (i - 1) % n) for i in range(n)]
-    from_left = lax.ppermute(q[-width:], axis_name, fwd)
-    from_right = lax.ppermute(q[:width], axis_name, bwd)
+    size = q.shape[axis]
+    from_left = lax.ppermute(
+        lax.slice_in_dim(q, size - width, size, axis=axis), axis_name, fwd)
+    from_right = lax.ppermute(
+        lax.slice_in_dim(q, 0, width, axis=axis), axis_name, bwd)
     return from_left, from_right
 
 
@@ -78,18 +81,14 @@ def sharded_tendency_x(q, rhou_face_local, rho0, dx, axis_name: str = AXIS):
 @partial(jax.jit, static_argnames=("case", "n_steps", "mesh",
                                    "profile_diags"))
 def simulate_sharded(state0: KidState, tables, case, n_steps: int,
-                     mesh: Mesh, profile_diags: bool = False):
-    """Distributed twin of ``driver.loop.simulate``: same physics, columns
-    sharded over ``mesh``; one ppermute halo exchange per tracer per step."""
+                     mesh: Mesh, profile_diags=False):
+    """Distributed twin of ``driver.loop.simulate``: the SAME ``make_step``
+    physics, columns sharded over ``mesh``; the tracer stack is halo-
+    exchanged with ONE ppermute pair per step."""
     grid = case.grid()
     dtype = state0.qv.dtype
-    dz = jnp.asarray(grid.dz, dtype)
-    rho0 = jnp.asarray(grid.rho0, dtype)
-    exner = jnp.asarray(grid.exner, dtype)[None, :]
     pres_full = jnp.broadcast_to(jnp.asarray(grid.pres, dtype),
                                  (case.nx, case.nz))
-    rho_face = jnp.concatenate([rho0[:1], 0.5 * (rho0[1:] + rho0[:-1]),
-                                rho0[-1:]])
     w_pat_full = jnp.asarray(case.rhow_pattern(grid), dtype)
     # per-shard u faces: shard i owns faces [i*nloc, (i+1)*nloc], one
     # overlapping face with its right neighbor — build as (nx, nz, 2)
@@ -100,67 +99,26 @@ def simulate_sharded(state0: KidState, tables, case, n_steps: int,
         u_pat_full = jnp.asarray(u_lr, dtype)
     else:
         u_pat_full = None
-    dt = case.dt
-    cfg = case.micro
-    nt_c = cfg.nt_c
-    n_dev = mesh.devices.size
+    names = resolve_profile_names(profile_diags)
 
     def body(st0, w_pat, u_pat, pres2):
-        nloc = st0.qv.shape[0]
-        dzq2 = jnp.broadcast_to(dz, (nloc, case.nz))
+        if u_pat is not None:
+            # reassemble the nloc+1 local face pattern from (nloc, nz, 2)
+            u_faces = jnp.concatenate([u_pat[..., 0], u_pat[-1:, :, 1]],
+                                      axis=0)
+        else:
+            u_faces = None
 
-        def step(carry, istep):
-            st = carry
-            t = istep.astype(dtype) * dt
-            m = case.time_modulation(t)
-            w_face = m * w_pat
+        def pad_x(q):    # (9, nloc, nz): one ppermute pair for all tracers
+            left, right = halo_exchange_x(q, AXIS, 2, axis=1)
+            return jnp.concatenate([left, q, right], axis=1)
 
-            if u_pat is not None:
-                # reassemble the nloc+1 local faces from the (nloc, 2) pairs
-                u_loc = case.u0 * rho0[None, :] + m * u_pat[..., 0]
-                u_last = case.u0 * rho0[None, :] + m * u_pat[-1:, :, 1]
-                u_faces = jnp.concatenate([u_loc, u_last], axis=0)
-
-                def adv(q):
-                    return (advective_tendency_z(q, w_face, rho0, dz)
-                            + sharded_tendency_x(q, u_faces, rho0, case.dx))
-            else:
-                def adv(q):
-                    return (advective_tendency_z(q, w_face, rho0, dz)
-                            + divergence_tendency_z(q, w_face, rho0, dz))
-
-            a = KidState(*[adv(getattr(st, f)) for f in KidState._fields])
-            th_p = st.theta + a.theta * dt
-            t_p = th_p * exner
-            qv_p = st.qv + a.qv * dt
-            rho_p = 0.622 * pres2 / (c.R_GAS * t_p * (qv_p + 0.622))
-            w_vel = w_face / rho_face
-            w_cent = 0.5 * (w_vel[:, 1:] + w_vel[:, :-1])
-            micro_in = ColumnState(
-                t=t_p, qv=qv_p,
-                qc=st.qc + a.qc * dt, qi=st.qi + a.qi * dt,
-                qr=st.qr + a.qr * dt, qs=st.qs + a.qs * dt,
-                qg=st.qg + a.qg * dt, ni=st.ni + a.ni * dt,
-                nr=st.nr + a.nr * dt,
-                nc=nt_c / rho_p, nwfa=11.1e6 / rho_p,
-                nifa=c.NA_IN1 * 0.01 / rho_p)
-            out, ppt, diag = batched_microphysics(
-                micro_in, pres2, w_cent, dzq2, dt, tables, cfg)
-            new = KidState(theta=out.t / exner, qv=out.qv, qc=out.qc,
-                           qr=out.qr, nr=out.nr, qi=out.qi, ni=out.ni,
-                           qs=out.qs, qg=out.qg)
-            profs = {}
-            if profile_diags:
-                profs = {"qc": out.qc, "qr": out.qr, "qv": out.qv}
-            return new, StepOutputs(ppt_rain=ppt.rain, ppt_snow=ppt.snow,
-                                    ppt_graupel=ppt.graupel,
-                                    ppt_ice=ppt.ice, profiles=profs)
-
+        step = make_step(case, tables, dtype, w_pat, u_faces, pres2,
+                         pad_x, names)
         return lax.scan(step, st0, jnp.arange(n_steps))
 
     state_spec = KidState(*[P(AXIS, None)] * len(KidState._fields))
-    prof_spec = ({"qc": P(None, AXIS, None), "qr": P(None, AXIS, None),
-                  "qv": P(None, AXIS, None)} if profile_diags else {})
+    prof_spec = {n: P(None, AXIS, None) for n in names}
     out_stream_spec = StepOutputs(
         ppt_rain=P(None, AXIS), ppt_snow=P(None, AXIS),
         ppt_graupel=P(None, AXIS), ppt_ice=P(None, AXIS),

@@ -90,13 +90,13 @@ def advective_tendency_x_padded(q_padded, rhou_face, rho0, dx):
       rho0:      (nz,) center density.
       dx:        scalar spacing.
     """
-    qx = jnp.swapaxes(q_padded, 0, 1)                  # (nz, ncol+4)
+    qx = jnp.moveaxis(q_padded, -2, -1)                # (..., nz, ncol+4)
     fx = jnp.swapaxes(rhou_face, 0, 1)                 # (nz, ncol+1)
     fx_ext = jnp.concatenate([fx[..., :1], fx, fx[..., -1:]], axis=-1)
     qf = _muscl_face_values(qx, fx_ext)[..., 1:-1]
     flux = fx * qf
     ten = -(flux[..., 1:] - flux[..., :-1]) / (rho0[:, None] * dx)
-    return jnp.swapaxes(ten, 0, 1)
+    return jnp.moveaxis(ten, -1, -2)
 
 
 def advective_tendency_x(q, rhou_face, rho0, dx):

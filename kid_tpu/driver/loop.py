@@ -32,7 +32,7 @@ from ..config import MicroConfig
 from ..micro import ColumnState, batched_microphysics
 from ..micro.solver import device_tables
 from ..tables.cache import get_tables
-from .advection import (advective_tendency_x, advective_tendency_z,
+from .advection import (advective_tendency_x_padded, advective_tendency_z,
                         divergence_tendency_z)
 from .cases import Case
 from .grid import R_ON_CP
@@ -62,6 +62,42 @@ class StepOutputs(NamedTuple):
     profiles: dict             # name -> (nx, nz) per-step profile
 
 
+# the wrapper's per-level microphysics-tendency back-outs
+# (mphys_thompson09n.f90:198-245): (micro_out - provisional)/dt
+MPHYS_TENDENCY_NAMES = (
+    "dtheta_mphys", "dqv_mphys", "dqc_mphys", "dqr_mphys", "dnr_mphys",
+    "dqi_mphys", "dni_mphys", "dqs_mphys", "dqg_mphys")
+
+# the solver's 36 per-level process-rate streams
+# (module_mp_thompson09n.f90:2963-3124); keys of the solver diag dict
+RATE_NAMES = (
+    "prr_wau", "prr_rcw", "prv_rev", "pnr_wau", "pnr_rev", "pnr_rcr",
+    "pri_inu", "pri_ide", "prs_ide", "prs_sde", "prg_gde", "pri_wfz",
+    "prs_scw", "prg_scw", "prg_gcw", "pri_ihm", "pri_rfz", "prs_iau",
+    "prs_sci", "pri_rci", "pni_inu", "pni_ihm", "pni_wfz", "pni_rfz",
+    "pni_ide", "pni_iau", "pni_sci", "pni_rci", "prr_sml", "prr_gml",
+    "pnr_rcs", "pnr_rcg", "pnr_rci", "pnr_sml", "pnr_gml", "pnr_rfz")
+
+ALL_PROFILE_NAMES = KidState._fields + RATE_NAMES + MPHYS_TENDENCY_NAMES
+
+
+def resolve_profile_names(profile_diags) -> tuple:
+    """Normalize the ``profile_diags`` argument to a static name tuple.
+
+    ``False``/``()`` -> none; ``True`` -> every stream (state + 36 rates +
+    mphys-tendency back-outs); a tuple of names selects a subset (bounding
+    lax.scan output memory to the streams actually wanted)."""
+    if profile_diags is True:
+        return ALL_PROFILE_NAMES
+    if not profile_diags:
+        return ()
+    names = tuple(profile_diags)
+    unknown = [n for n in names if n not in ALL_PROFILE_NAMES]
+    if unknown:
+        raise ValueError(f"unknown diagnostic streams: {unknown}")
+    return names
+
+
 def initial_state(case: Case, dtype=jnp.float64) -> KidState:
     grid = case.grid()
     theta = np.broadcast_to(case.theta_init(grid.z), (case.nx, case.nz))
@@ -72,63 +108,64 @@ def initial_state(case: Case, dtype=jnp.float64) -> KidState:
         qc=z, qr=z, nr=z, qi=z, ni=z, qs=z, qg=z)
 
 
-def _adv_all(state: KidState, rho0, rhow_face, dz, rhou_face, dx):
-    """Combined d*_adv + d*_div tendencies for every prognostic.
+def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
+              profile_names: tuple):
+    """Build the per-step function (advect -> microphysics -> update).
 
-    1-D cases: flux-form vertical advection plus the compensating
-    divergence term (the two streams the reference wrapper sums at
-    mphys_thompson09n.f90:60-93).  2-D cases: the stream-function mass
-    fluxes are exactly non-divergent, so the div stream is zero.
+    SINGLE source of truth for the step physics: ``simulate`` wraps it with
+    local periodic x-padding, ``dist.mesh.simulate_sharded`` with
+    halo-exchanged padding — the two paths differ ONLY in ``pad_x``.
+
+    The 9 KidState tracers are advected as one stacked (9, nloc, nz) tensor,
+    so the sharded path needs exactly ONE ppermute pair per step (not one
+    per tracer).
+
+    Args:
+      w_pat:       (nloc, nz+1) rho0*w z-face pattern (local shard).
+      u_pat_faces: (nloc+1, nz) local rho0*u' x-face pattern, None for 1-D.
+      pres2:       (nloc, nz) pressure.
+      pad_x:       callable (9, nloc, nz) -> (9, nloc+4, nz) adding 2 ghost
+                   columns per side; unused for 1-D cases.
+      profile_names: static tuple from ``resolve_profile_names``.
     """
-    one_d = rhou_face is None
-
-    def adv(q):
-        ten = advective_tendency_z(q, rhow_face, rho0, dz)
-        if one_d:
-            ten = ten + divergence_tendency_z(q, rhow_face, rho0, dz)
-        else:
-            ten = ten + advective_tendency_x(q, rhou_face, rho0, dx)
-        return ten
-    return KidState(*[adv(getattr(state, f)) for f in KidState._fields])
-
-
-@partial(jax.jit,
-         static_argnames=("case", "n_steps", "profile_diags"))
-def simulate(state0: KidState, tables, case: Case, n_steps: int,
-             profile_diags: bool = False):
-    """Run ``n_steps`` of the case from ``state0``; returns final state and
-    per-step diagnostics."""
     grid = case.grid()
-    dtype = state0.qv.dtype
     dz = jnp.asarray(grid.dz, dtype)
     rho0 = jnp.asarray(grid.rho0, dtype)
     exner = jnp.asarray(grid.exner, dtype)[None, :]
-    pres = jnp.asarray(grid.pres, dtype)
-    pres2 = jnp.broadcast_to(pres, (case.nx, case.nz))
-    dzq2 = jnp.broadcast_to(dz, (case.nx, case.nz))
-    w_pat = jnp.asarray(case.rhow_pattern(grid), dtype)
-    u_pat = (jnp.asarray(case.rhou_pattern(grid), dtype)
-             if case.nx > 1 else None)
     rho_face = jnp.concatenate([rho0[:1], 0.5 * (rho0[1:] + rho0[:-1]),
                                 rho0[-1:]])
+    nloc = pres2.shape[0]
+    dzq2 = jnp.broadcast_to(dz, (nloc, case.nz))
     dt = case.dt
+    odt = 1.0 / dt
     cfg = case.micro
     nt_c = cfg.nt_c
+    one_d = u_pat_faces is None
 
-    def step(carry, istep):
-        st = carry
+    def step(st: KidState, istep):
         t = istep.astype(dtype) * dt
         m = case.time_modulation(t)
         w_face = m * w_pat                       # rho0*w at z-faces
-        u_face = (case.u0 * rho0[None, :] + m * u_pat) \
-            if u_pat is not None else None       # rho0*u at x-faces
-        adv = _adv_all(st, rho0, w_face, dz, u_face, case.dx)
+        q = jnp.stack(tuple(st))                 # (9, nloc, nz), field order
+
+        # d*_adv + d*_div (the two streams the reference wrapper sums at
+        # mphys_thompson09n.f90:60-93).  1-D: flux-form vertical advection
+        # + compensating divergence closure.  2-D: stream-function fluxes
+        # are exactly non-divergent, so the div stream is zero.
+        ten = advective_tendency_z(q, w_face, rho0, dz)
+        if one_d:
+            ten = ten + divergence_tendency_z(q, w_face, rho0, dz)
+        else:
+            u_face = case.u0 * rho0[None, :] + m * u_pat_faces
+            ten = ten + advective_tendency_x_padded(
+                pad_x(q), u_face, rho0, case.dx)
 
         # provisional state (x + adv*dt), mapped to the micro's T/state
         # (mphys_thompson09n.f90:60-93)
-        th_p = st.theta + adv.theta * dt
-        t_p = th_p * exner
-        qv_p = st.qv + adv.qv * dt
+        prov = q + ten * dt
+        prov_named = dict(zip(KidState._fields, prov))
+        t_p = prov_named["theta"] * exner
+        qv_p = prov_named["qv"]
         rho_p = 0.622 * pres2 / (c.R_GAS * t_p * (qv_p + 0.622))
         # deterministic micro-internal inits (mp_gt_driver pattern,
         # module_mp_thompson09n.f90:957-964; SURVEY.md quirk 2)
@@ -136,10 +173,9 @@ def simulate(state0: KidState, tables, case: Case, n_steps: int,
         w_cent = 0.5 * (w_vel[:, 1:] + w_vel[:, :-1])
         micro_in = ColumnState(
             t=t_p, qv=qv_p,
-            qc=st.qc + adv.qc * dt, qi=st.qi + adv.qi * dt,
-            qr=st.qr + adv.qr * dt, qs=st.qs + adv.qs * dt,
-            qg=st.qg + adv.qg * dt, ni=st.ni + adv.ni * dt,
-            nr=st.nr + adv.nr * dt,
+            qc=prov_named["qc"], qi=prov_named["qi"], qr=prov_named["qr"],
+            qs=prov_named["qs"], qg=prov_named["qg"], ni=prov_named["ni"],
+            nr=prov_named["nr"],
             nc=nt_c / rho_p, nwfa=11.1e6 / rho_p,
             nifa=c.NA_IN1 * 0.01 / rho_p)
         out, ppt, diag = batched_microphysics(
@@ -148,19 +184,45 @@ def simulate(state0: KidState, tables, case: Case, n_steps: int,
         new = KidState(
             theta=out.t / exner, qv=out.qv, qc=out.qc, qr=out.qr,
             nr=out.nr, qi=out.qi, ni=out.ni, qs=out.qs, qg=out.qg)
+        new_named = new._asdict()
         profs = {}
-        if profile_diags:
-            profs = {"qc": out.qc, "qr": out.qr, "qi": out.qi,
-                     "qs": out.qs, "qg": out.qg, "theta": new.theta,
-                     "qv": out.qv,
-                     "prr_wau": diag["prr_wau"],
-                     "prr_rcw": diag["prr_rcw"],
-                     "prv_rev": diag["prv_rev"]}
+        for name in profile_names:
+            if name in diag:
+                profs[name] = diag[name]
+            elif name in new_named:
+                profs[name] = new_named[name]
+            else:
+                # d<field>_mphys back-out (mphys_thompson09n.f90:198-245)
+                f = name[1:-len("_mphys")]
+                profs[name] = (new_named[f] - prov_named[f]) * odt
         outs = StepOutputs(ppt_rain=ppt.rain, ppt_snow=ppt.snow,
                            ppt_graupel=ppt.graupel, ppt_ice=ppt.ice,
                            profiles=profs)
         return new, outs
 
+    return step
+
+
+@partial(jax.jit,
+         static_argnames=("case", "n_steps", "profile_diags"))
+def simulate(state0: KidState, tables, case: Case, n_steps: int,
+             profile_diags=False):
+    """Run ``n_steps`` of the case from ``state0``; returns final state and
+    per-step diagnostics.  ``profile_diags``: False/True/tuple of stream
+    names (see ``resolve_profile_names``)."""
+    grid = case.grid()
+    dtype = state0.qv.dtype
+    pres2 = jnp.broadcast_to(jnp.asarray(grid.pres, dtype),
+                             (case.nx, case.nz))
+    w_pat = jnp.asarray(case.rhow_pattern(grid), dtype)
+    u_pat = (jnp.asarray(case.rhou_pattern(grid), dtype)
+             if case.nx > 1 else None)
+
+    def pad_x(q):        # periodic: wrap 2 columns from each end
+        return jnp.concatenate([q[:, -2:], q, q[:, :2]], axis=1)
+
+    step = make_step(case, tables, dtype, w_pat, u_pat, pres2, pad_x,
+                     resolve_profile_names(profile_diags))
     final, streams = jax.lax.scan(step, state0, jnp.arange(n_steps))
     return final, streams
 
