@@ -2,13 +2,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference publishes no numbers (BASELINE.md).  The comparison
-point mandated by BASELINE.json is single-core Fortran; measured costs of
-the Thompson scheme in WRF-class models are ~5-20 us per column-level-step
-on one CPU core, i.e. O(1e5) column-steps/s for 120-level columns.  We use
-1.0e5 column-steps/s as the documented single-core estimate, so
-``vs_baseline`` is measured/1e5 (the ">= 10x Fortran" target is
-vs_baseline >= 10).
+Baseline: the reference publishes no numbers (BASELINE.md), so the
+single-core Fortran denominator is MEASURED — see bench_baseline.py for
+the two reproducible anchors (a gcc -O3 speed-of-light benchmark of the
+reference's per-cell transcendental budget: ~3.3e3 column-steps/s; and the
+NumPy golden-oracle timing bounded by a 100x interpreter factor:
+<= ~6.1e3).  The baseline is set at 1.0e4 column-steps/s at nz=120 — 3x
+the compiled anchor, deliberately favoring the reference — so the
+">= 10x Fortran" target is vs_baseline >= 10, i.e. >= 1e5
+column-steps/s/chip.
 """
 from __future__ import annotations
 
@@ -57,7 +59,7 @@ def main():
     dt_s = time.perf_counter() - t0
 
     col_steps_per_sec = ncol * steps / dt_s
-    baseline = 1.0e5   # single-core Fortran estimate (see module docstring)
+    from bench_baseline import BASELINE_COL_STEPS_PER_SEC as baseline
     print(json.dumps({
         "metric": "column_steps_per_sec_mixed1_nz120",
         "value": round(col_steps_per_sec, 1),
