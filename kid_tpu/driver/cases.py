@@ -103,11 +103,15 @@ def _qv_exp(q0, h):
 
 
 WARM1 = Case(
+    # Shipway & Hill (2012) WC1: 3 km column, w = 2 m/s * sin(pi t/1200 s)
+    # half-sine pulse (peak at 600 s, off after 1200 s), 1 h run.  The
+    # thermodynamic sounding is a reconstruction (theta ~ 288 K, moist
+    # boundary layer); the published profile tables are not in the checkout.
     name="warm1", nz=120, nx=1, ztop=3000.0, dt=1.0, t_final=3600.0,
     micro=MicroConfig(iiwarm=True),
     theta_init=_theta_const(288.0),
     qv_init=_qv_exp(0.015, 2000.0),
-    w1=2.0, t1=600.0)
+    w1=2.0, t1=1200.0)
 
 MIXED1 = Case(
     name="mixed1", nz=120, nx=1, ztop=10000.0, dt=2.0, t_final=3600.0,

@@ -33,9 +33,12 @@ def decade_index(r, n2, ntb):
     n = jnp.floor(jnp.log10(r)).astype(jnp.int32)
     pow10 = jnp.power(jnp.asarray(10.0, r.dtype), n.astype(r.dtype))
     m = r / pow10
-    # repair fp edge cases so 1 <= m < 10 exactly as the Fortran search does
+    # repair fp edge cases so 1 <= m < 10 exactly as the Fortran search
+    # does; the corrected 10**n is pow10/10 or pow10*10 (exact scalar ops,
+    # saving the second pow HLO — a guarded exp/log chain on TPU)
     n = jnp.where(m < 1.0, n - 1, jnp.where(m >= 10.0, n + 1, n))
-    pow10 = jnp.power(jnp.asarray(10.0, r.dtype), n.astype(r.dtype))
+    pow10 = jnp.where(m < 1.0, pow10 / 10.0,
+                      jnp.where(m >= 10.0, pow10 * 10.0, pow10))
     m = r / pow10
     idx = m.astype(jnp.int32) + 9 * (n - n2)
     return jnp.clip(idx, 1, ntb) - 1

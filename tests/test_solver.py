@@ -97,10 +97,12 @@ def test_column_water_closure(cfg, tb):
     after = float(np.sum(total_water(s) * rho * DZ))
     fallout = float(ppt.rain + ppt.snow + ppt.graupel + ppt.ice)
     assert fallout > 0.0       # rain reaches the surface in this setup
-    # closure to ~0.2% of the column water (fp32-grade floors, qv floor,
-    # and the rho refresh between phases are the residual sources)
+    # fp64 closure to ~1e-6 relative: the tendency assembly is exactly
+    # antisymmetric (f90:2393-2567); the measured residual (~4e-7 rel at
+    # dt=10, scaling ~dt^2) comes from the second-order rho refresh
+    # between the saturation-adjustment sub-phases, same as the Fortran
     np.testing.assert_allclose(after - before, -fallout,
-                               rtol=0.0, atol=2e-3 * before)
+                               rtol=0.0, atol=2e-6 * before)
 
 
 def test_no_micro_is_identity_like():
