@@ -67,15 +67,18 @@ class DeviceTables(NamedTuple):
     """Device-resident lookup tables, re-laid-out for TPU gather efficiency
     (contents identical to the Fortran tables of f90:322-342; see Tables).
 
-    Each family is a flat 2-D (cells, n_tables) row matrix gathered with a
-    linear index computed in the solver — measured another ~2.5x faster
-    than gathering the logically-shaped 5-D stack."""
+    Each family is a flat 2-D (n_tables, cells) FAMILY-MAJOR matrix
+    gathered along axis 1 with a linear cell index computed in the solver.
+    (Round-1 used (cells, n_tables) row gathers; the family-major form
+    gathers each table as a contiguous 1-D stream and measured ~5x faster
+    in the full step on a v5e — the 5 family gathers were 55% of the
+    round-1 step time.)"""
 
-    racs: jax.Array    # (ntb_s*ntb_t*ntb_r1*ntb_r, 11), order _RACS
-    racg: jax.Array    # (ntb_g1*ntb_g*ntb_r1*ntb_r, 5), order _RACG
-    qrfz: jax.Array    # (ntb_r*ntb_r1*45, 4), order _QRFZ
-    qcfz: jax.Array    # (ntb_c*45, 2), order _QCFZ
-    iaus: jax.Array    # (ntb_i*ntb_i1, 3), order _IAUS
+    racs: jax.Array    # (11, ntb_s*ntb_t*ntb_r1*ntb_r), order _RACS
+    racg: jax.Array    # (5, ntb_g1*ntb_g*ntb_r1*ntb_r), order _RACG
+    qrfz: jax.Array    # (4, ntb_r*ntb_r1*45), order _QRFZ
+    qcfz: jax.Array    # (2, ntb_c*45), order _QCFZ
+    iaus: jax.Array    # (3, ntb_i*ntb_i1), order _IAUS
     t_efrw: jax.Array  # (nbr, nbc)
     t_efsw: jax.Array  # (nbs, nbc)
     tnc_wev: jax.Array  # (nbc, ntb_c, nbc)
@@ -86,8 +89,8 @@ def device_tables(tables: Tables, dtype=jnp.float32) -> DeviceTables:
     """Re-layout host float64 tables into flat stacked device families."""
     def stack(names):
         s = jnp.stack([jnp.asarray(getattr(tables, n), dtype)
-                       for n in names], axis=-1)
-        return s.reshape(-1, s.shape[-1])
+                       for n in names], axis=0)
+        return s.reshape(s.shape[0], -1)
 
     return DeviceTables(
         racs=stack(_RACS), racg=stack(_RACG), qrfz=stack(_QRFZ),
@@ -603,10 +606,10 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         # gathers (order _RACS)
         lin_s = ((idx_s * c.NTB_T + idx_t) * c.NTB_R1 + idx_r1) * c.NTB_R \
             + idx_r
-        rv = tables.racs[lin_s]
+        rv = tables.racs[:, lin_s]
         (t_racs1, t_racs2, m_racs1, m_racs2, t_sacr1, t_sacr2, ms_sacr1,
          n_racs1, n_racs2, n_sacr1, n_sacr2) = [
-            rv[..., j] for j in range(11)]
+            rv[j] for j in range(11)]
         rs_on = (rr >= _RR1) & (rs >= _RS1)
         # cold branch (T < T_0): f90:1966-1985
         prr_rcs_c = jnp.maximum(-rr * odts,
@@ -634,12 +637,12 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         # (f90:1999-2018), order _RACG
         lin_g = ((idx_g1 * c.NTB_G + idx_g) * c.NTB_R1 + idx_r1) * c.NTB_R \
             + idx_r
-        gv = tables.racg[lin_g]
+        gv = tables.racg[:, lin_g]
         rg_on = (rr >= _RR1) & (rg >= _RG1)
-        prg_rcg_c = jnp.minimum(rr * odts, gv[..., 0] + gv[..., 1])
-        pnr_rcg_c = jnp.minimum(nr * odts, gv[..., 2] + gv[..., 3])
-        prr_rcg_w = jnp.minimum(rg * odts, gv[..., 4])
-        pnr_rcg_w = -5.0 * gv[..., 3]            # explicit break-up f90:2016
+        prg_rcg_c = jnp.minimum(rr * odts, gv[0] + gv[1])
+        pnr_rcg_c = jnp.minimum(nr * odts, gv[2] + gv[3])
+        prr_rcg_w = jnp.minimum(rg * odts, gv[4])
+        pnr_rcg_w = -5.0 * gv[3]                 # explicit break-up f90:2016
         prg_rcg = jnp.where(rg_on, jnp.where(t_lt_0, prg_rcg_c, -prr_rcg_w),
                             0.0)
         prr_rcg = jnp.where(rg_on, jnp.where(t_lt_0, -prg_rcg_c, prr_rcg_w),
@@ -658,29 +661,29 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
         # rain freezing, Bigg 1953 via the stacked 4-table family
         # (f90:2065-2076), order _QRFZ
-        fv = tables.qrfz[(idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]
+        fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]
         frz_tab = t_lt_0 & (rr > _RR1)
         frz_hom = t_lt_0 & ~(rr > _RR1) & (rr > c.R1) & (temp < c.HGFR)
-        prg_rfz = jnp.where(frz_tab, fv[..., 0] * odts, 0.0)
-        pri_rfz = jnp.where(frz_tab, fv[..., 1] * odts,
+        prg_rfz = jnp.where(frz_tab, fv[0] * odts, 0.0)
+        pri_rfz = jnp.where(frz_tab, fv[1] * odts,
                             jnp.where(frz_hom, rr * odts, 0.0))
-        pni_rfz = jnp.where(frz_tab, fv[..., 2] * odts,
+        pni_rfz = jnp.where(frz_tab, fv[2] * odts,
                             jnp.where(frz_hom, nr * odts, 0.0))
         pnr_rfz = jnp.where(frz_tab,
-                            jnp.minimum(nr * odts, fv[..., 3] * odts),
+                            jnp.minimum(nr * odts, fv[3] * odts),
                             jnp.where(frz_hom, nr * odts, 0.0))
 
         # cloud water freezing via the stacked pair (f90:2077-2086), _QCFZ
-        cv = tables.qcfz[idx_c * 45 + idx_tc]
+        cv = tables.qcfz[:, idx_c * 45 + idx_tc]
         wfz_tab = t_lt_0 & (rc > _RC1)
         wfz_hom = t_lt_0 & ~(rc > _RC1) & (rc > c.R1) & (temp < c.HGFR)
         pri_wfz = jnp.where(
-            wfz_tab, jnp.minimum(rc * odts, cv[..., 0] * odts),
+            wfz_tab, jnp.minimum(rc * odts, cv[0] * odts),
             jnp.where(wfz_hom, rc * odts, 0.0))
         pni_wfz = jnp.where(
             wfz_tab,
             jnp.minimum(jnp.minimum(nt_c * odts, pri_wfz / (2.0 * c.XM0I)),
-                        cv[..., 1] * odts),
+                        cv[1] * odts),
             jnp.where(wfz_hom, nc * odts, 0.0))
 
         # deposition-condensation ice nucleation: DeMott (2010) when
@@ -724,8 +727,8 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         pni_ide_neg = jnp.maximum(-ni * odts, ide_neg * oxmi)
         ide_pos = jnp.minimum(ide0, rate_max_i)
         # stacked (tpi_ide, tps_iaus, tni_iaus) family, order _IAUS
-        iv = tables.iaus[idx_i * c.NTB_I1 + idx_i1]
-        tide = iv[..., 0]
+        iv = tables.iaus[:, idx_i * c.NTB_I1 + idx_i1]
+        tide = iv[0]
         ice_on = t_lt_0 & l_qi
         pri_ide = jnp.where(ice_on,
                             jnp.where(ide0 < 0.0, ide_neg, tide * ide_pos),
@@ -737,8 +740,8 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         # ice -> snow autoconversion (f90:2135-2148)
         iau_big = (idx_i == c.NTB_I - 1) | (xdi > 5.0 * c.D0S)
         iau_small = xdi < 0.1 * c.D0S
-        prs_iau_t = jnp.minimum(ri * 0.99 * odts, iv[..., 1] * odts)
-        pni_iau_t = jnp.minimum(ni * 0.95 * odts, iv[..., 2] * odts)
+        prs_iau_t = jnp.minimum(ri * 0.99 * odts, iv[1] * odts)
+        pni_iau_t = jnp.minimum(ni * 0.95 * odts, iv[2] * odts)
         prs_iau = jnp.where(ice_on,
                             jnp.where(iau_big, ri * 0.99 * odts,
                                       jnp.where(iau_small, 0.0, prs_iau_t)),
