@@ -15,9 +15,16 @@ column-steps/s/chip.
 from __future__ import annotations
 
 import json
+import os
 import time
+from functools import partial
 
 import numpy as np
+
+# Persistent XLA compilation cache: repeat runs on the same machine skip
+# the ~40 s TPU compile entirely.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/kid_tpu_xla"))
 
 
 def main():
@@ -34,28 +41,38 @@ def main():
     platform = jax.devices()[0].platform
     ncol = 8192 if platform != "cpu" else 512
     nz = 120
-    steps = 30 if platform != "cpu" else 5
+    steps = 100 if platform != "cpu" else 5
     dtype = jnp.float32
 
     cfg = MicroConfig(iiwarm=False)
     tables = device_tables(get_tables(iiwarm=False), dtype)
     state, pres, w, dzq = _example_batch(ncol=ncol, nz=nz, dtype=dtype)
 
-    @jax.jit
-    def step(st):
+    # Tables/forcing are ARGUMENTS, not closed-over device arrays: a
+    # closed-over jax.Array is embedded as an MLIR constant at lower()
+    # time, which fetches it device->host — ~100-500 s over the tunneled
+    # TPU for the ~40 MB table set (the round-2 bench timeout).
+    #
+    # Donate the state (the production pattern — the driver's lax.scan
+    # carries it the same way); without donation a long step chain stalls
+    # the tunneled allocator (measured 313 ms/step at 100 steps vs a
+    # donated, D2H-verified 23.6 ms).  Timing ends with an np.asarray()
+    # host materialization: block_until_ready() on a donated result
+    # returns early on this platform, a host copy cannot be faked.
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(st, pres, w, dzq, tables):
         new, _, _ = batched_microphysics(st, pres, w, dzq, 10.0, tables,
                                          cfg)
         return new
 
     # warmup / compile
-    st = step(state)
-    jax.block_until_ready(st)
+    st = step(state, pres, w, dzq, tables)
+    np.asarray(st.qr)
 
     t0 = time.perf_counter()
-    st = state
     for _ in range(steps):
-        st = step(st)
-    jax.block_until_ready(st)
+        st = step(st, pres, w, dzq, tables)
+    np.asarray(st.qr)    # force full materialization on the host
     dt_s = time.perf_counter() - t0
 
     col_steps_per_sec = ncol * steps / dt_s

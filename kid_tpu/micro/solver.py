@@ -86,19 +86,25 @@ class DeviceTables(NamedTuple):
 
 
 def device_tables(tables: Tables, dtype=jnp.float32) -> DeviceTables:
-    """Re-layout host float64 tables into flat stacked device families."""
+    """Re-layout host float64 tables into flat stacked device families.
+
+    All casting/stacking happens host-side in NumPy so each family crosses
+    to the device as ONE contiguous buffer (round-2 stacked on device via
+    many small eager ops, costing ~31 s of H2D on the tunneled TPU)."""
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+
     def stack(names):
-        s = jnp.stack([jnp.asarray(getattr(tables, n), dtype)
-                       for n in names], axis=0)
-        return s.reshape(s.shape[0], -1)
+        s = np.stack([np.asarray(getattr(tables, n), np_dtype)
+                      for n in names], axis=0)
+        return jnp.asarray(s.reshape(s.shape[0], -1))
 
     return DeviceTables(
         racs=stack(_RACS), racg=stack(_RACG), qrfz=stack(_QRFZ),
         qcfz=stack(_QCFZ), iaus=stack(_IAUS),
-        t_efrw=jnp.asarray(tables.t_efrw, dtype),
-        t_efsw=jnp.asarray(tables.t_efsw, dtype),
-        tnc_wev=jnp.asarray(tables.tnc_wev, dtype),
-        tnccn_act=jnp.asarray(tables.tnccn_act, dtype))
+        t_efrw=jnp.asarray(np.asarray(tables.t_efrw, np_dtype)),
+        t_efsw=jnp.asarray(np.asarray(tables.t_efsw, np_dtype)),
+        tnc_wev=jnp.asarray(np.asarray(tables.tnc_wev, np_dtype)),
+        tnccn_act=jnp.asarray(np.asarray(tables.tnccn_act, np_dtype)))
 
 
 # nu_c-indexed gamma-coefficient columns [ccg1, ccg2, ccg3, ocg1, ocg2, cce2]

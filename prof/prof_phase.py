@@ -10,7 +10,10 @@ import types
 import jax
 import jax.numpy as jnp
 
-SRC = open("kid_tpu/micro/solver.py").read()
+import os
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+SRC = open(os.path.join(_ROOT, "kid_tpu/micro/solver.py")).read()
 
 VARIANTS = {
     "full": [],
@@ -83,18 +86,23 @@ def main():
         mod = load_variant("full" if iiwarm else name)
         tables = mod.device_tables(host_tables, dtype)
 
+        # tables as ARGUMENTS (closed-over device arrays are fetched
+        # device->host at lower() time: minutes over the tunneled TPU);
+        # np.asarray() sync (block_until_ready can return early on axon)
+        import numpy as _np
+
         @jax.jit
-        def step(st):
+        def step(st, pres, w, dzq, tables):
             new, _, _ = mod.batched_microphysics(st, pres, w, dzq, 10.0,
                                                  tables, cfg)
             return new
 
-        st = jax.block_until_ready(step(state))
+        st = jax.block_until_ready(step(state, pres, w, dzq, tables))
         n = 10
         t0 = time.perf_counter()
         for _ in range(n):
-            st = step(st)
-        jax.block_until_ready(st)
+            st = step(st, pres, w, dzq, tables)
+        _np.asarray(st.qr)
         ms = (time.perf_counter() - t0) / n * 1e3
         print(f"{name:14s} {ms:8.2f} ms/step", flush=True)
 
