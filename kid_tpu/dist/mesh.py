@@ -53,7 +53,7 @@ def halo_exchange_x(q, axis_name: str = AXIS, width: int = 2,
     Returns (from_left, from_right): the left neighbor's rightmost and the
     right neighbor's leftmost ``width`` columns (periodic global domain).
     ``axis`` selects which array axis holds the sharded columns, so a whole
-    tracer stack (9, nloc, nz) exchanges with ONE ppermute pair.
+    tracer stack (12, nloc, nz) exchanges with ONE ppermute pair.
     """
     n = lax.axis_size(axis_name)
     fwd = [(i, (i + 1) % n) for i in range(n)]
@@ -109,7 +109,7 @@ def simulate_sharded(state0: KidState, tables, case, n_steps: int,
         else:
             u_faces = None
 
-        def pad_x(q):    # (9, nloc, nz): one ppermute pair for all tracers
+        def pad_x(q):    # (12, nloc, nz): one ppermute pair for all tracers
             left, right = halo_exchange_x(q, AXIS, 2, axis=1)
             return jnp.concatenate([left, q, right], axis=1)
 

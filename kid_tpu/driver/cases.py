@@ -41,6 +41,10 @@ class Case:
     modulation: str = "pulse"  # "pulse" -> sin(pi t/t1) for t<t1; "ramp"
     dx: float = 0.0            # horizontal spacing (2-D cases)
     u0: float = 0.0            # background horizontal wind (2-D cases)
+    # optional per-kg aerosol profiles [#/kg](z) for aerosol-aware cases;
+    # None -> the reference's non-aerosol fills (f90:957-964)
+    nwfa_init: Optional[Callable[[np.ndarray], np.ndarray]] = None
+    nifa_init: Optional[Callable[[np.ndarray], np.ndarray]] = None
 
     def grid(self) -> Grid:
         zc = self.ztop / self.nz * (np.arange(self.nz) + 0.5)
@@ -128,6 +132,20 @@ DEEP1 = Case(
     qv_init=_qv_exp(0.016, 2200.0),
     w1=8.0, t1=1200.0)
 
+AEROSOL1D = Case(
+    # Aerosol-aware twin of mixed1: prognostic nc/nwfa/nifa advected by the
+    # driver, CCN activation + DeMott/Koop nucleation active
+    # (module_mp_thompson09n.f90:950-956 gather, :2398-2408 tendencies).
+    # Aerosol profiles: boundary-layer-loaded exponentials (Thompson-
+    # Eidhammer-style surface maxima, decaying with height).
+    name="aerosol1d", nz=120, nx=1, ztop=10000.0, dt=2.0, t_final=3600.0,
+    micro=MicroConfig(iiwarm=False, is_aerosol_aware=True),
+    theta_init=lambda z: 273.15 + 2.0e-3 * z,
+    qv_init=_qv_exp(0.0045, 2500.0),
+    w1=2.0, t1=600.0,
+    nwfa_init=_qv_exp(300.0e6, 3000.0),     # CCN ~300/mg at the surface
+    nifa_init=_qv_exp(1.0e6, 4000.0))       # IN   ~1/mg at the surface
+
 CUMULUS2D = Case(
     name="cumulus2d", nz=60, nx=64, ztop=3000.0, dt=2.0, t_final=1800.0,
     micro=MicroConfig(iiwarm=True),
@@ -142,4 +160,5 @@ OROGRAPHIC2D = Case(
     qv_init=_qv_exp(0.005, 2500.0),
     w1=1.0, t1=120.0, modulation="ramp", dx=250.0, u0=10.0)
 
-CASES = {c.name: c for c in [WARM1, MIXED1, DEEP1, CUMULUS2D, OROGRAPHIC2D]}
+CASES = {c.name: c for c in [WARM1, MIXED1, DEEP1, AEROSOL1D, CUMULUS2D,
+                             OROGRAPHIC2D]}

@@ -39,7 +39,16 @@ from .grid import R_ON_CP
 
 
 class KidState(NamedTuple):
-    """Driver prognostics, all (nx, nz)."""
+    """Driver prognostics, all (nx, nz).
+
+    nc/nwfa/nifa are carried (and advected) like every other tracer so the
+    aerosol-aware mode has prognostic aerosol memory, mirroring how a real
+    3-D host feeds them per-column in aerosol-aware mode
+    (module_mp_thompson09n.f90:950-956) and applies the solver's nwfaten/
+    nifaten tendencies (f90:2398-2408).  In the default non-aerosol mode
+    the solver forces nc = Nt_c/rho internally (f90:1410) and leaves
+    nwfa/nifa untouched, so carrying them is exactly the reference
+    behavior there too."""
 
     theta: jnp.ndarray
     qv: jnp.ndarray
@@ -50,6 +59,9 @@ class KidState(NamedTuple):
     ni: jnp.ndarray
     qs: jnp.ndarray
     qg: jnp.ndarray
+    nc: jnp.ndarray
+    nwfa: jnp.ndarray
+    nifa: jnp.ndarray
 
 
 class StepOutputs(NamedTuple):
@@ -103,9 +115,21 @@ def initial_state(case: Case, dtype=jnp.float64) -> KidState:
     theta = np.broadcast_to(case.theta_init(grid.z), (case.nx, case.nz))
     qv = np.broadcast_to(case.qv_init(grid.z), (case.nx, case.nz))
     z = jnp.zeros((case.nx, case.nz), dtype)
+    # aerosol/droplet-number init: the case may prescribe per-kg profiles;
+    # defaults are the reference's non-aerosol fills (f90:957-964)
+    nc0 = case.micro.nt_c / grid.rho0
+    nwfa0 = (case.nwfa_init(grid.z) if case.nwfa_init is not None
+             else 11.1e6 / grid.rho0)
+    nifa0 = (case.nifa_init(grid.z) if case.nifa_init is not None
+             else c.NA_IN1 * 0.01 / grid.rho0)
+
+    def bcast(p):
+        return jnp.asarray(np.broadcast_to(p, (case.nx, case.nz)), dtype)
+
     return KidState(
         theta=jnp.asarray(theta, dtype), qv=jnp.asarray(qv, dtype),
-        qc=z, qr=z, nr=z, qi=z, ni=z, qs=z, qg=z)
+        qc=z, qr=z, nr=z, qi=z, ni=z, qs=z, qg=z,
+        nc=bcast(nc0), nwfa=bcast(nwfa0), nifa=bcast(nifa0))
 
 
 def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
@@ -116,7 +140,7 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
     local periodic x-padding, ``dist.mesh.simulate_sharded`` with
     halo-exchanged padding — the two paths differ ONLY in ``pad_x``.
 
-    The 9 KidState tracers are advected as one stacked (9, nloc, nz) tensor,
+    The 12 KidState tracers are advected as one stacked (12, nloc, nz) tensor,
     so the sharded path needs exactly ONE ppermute pair per step (not one
     per tracer).
 
@@ -124,7 +148,7 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
       w_pat:       (nloc, nz+1) rho0*w z-face pattern (local shard).
       u_pat_faces: (nloc+1, nz) local rho0*u' x-face pattern, None for 1-D.
       pres2:       (nloc, nz) pressure.
-      pad_x:       callable (9, nloc, nz) -> (9, nloc+4, nz) adding 2 ghost
+      pad_x:       callable (12, nloc, nz) -> (12, nloc+4, nz) adding 2 ghost
                    columns per side; unused for 1-D cases.
       profile_names: static tuple from ``resolve_profile_names``.
     """
@@ -139,14 +163,13 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
     dt = case.dt
     odt = 1.0 / dt
     cfg = case.micro
-    nt_c = cfg.nt_c
     one_d = u_pat_faces is None
 
     def step(st: KidState, istep):
         t = istep.astype(dtype) * dt
         m = case.time_modulation(t)
         w_face = m * w_pat                       # rho0*w at z-faces
-        q = jnp.stack(tuple(st))                 # (9, nloc, nz), field order
+        q = jnp.stack(tuple(st))                 # (12, nloc, nz), field order
 
         # d*_adv + d*_div (the two streams the reference wrapper sums at
         # mphys_thompson09n.f90:60-93).  1-D: flux-form vertical advection
@@ -166,24 +189,26 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
         prov_named = dict(zip(KidState._fields, prov))
         t_p = prov_named["theta"] * exner
         qv_p = prov_named["qv"]
-        rho_p = 0.622 * pres2 / (c.R_GAS * t_p * (qv_p + 0.622))
-        # deterministic micro-internal inits (mp_gt_driver pattern,
-        # module_mp_thompson09n.f90:957-964; SURVEY.md quirk 2)
         w_vel = w_face / rho_face                # velocity for activ_ncloud
         w_cent = 0.5 * (w_vel[:, 1:] + w_vel[:, :-1])
+        # nc/nwfa/nifa: advected prognostics (module_mp_thompson09n.f90:
+        # 950-956 aerosol-aware gather).  In non-aerosol mode the solver
+        # forces nc = Nt_c/rho itself (f90:1410), reproducing the
+        # reference's per-step reset without the driver lying about state.
         micro_in = ColumnState(
             t=t_p, qv=qv_p,
             qc=prov_named["qc"], qi=prov_named["qi"], qr=prov_named["qr"],
             qs=prov_named["qs"], qg=prov_named["qg"], ni=prov_named["ni"],
             nr=prov_named["nr"],
-            nc=nt_c / rho_p, nwfa=11.1e6 / rho_p,
-            nifa=c.NA_IN1 * 0.01 / rho_p)
+            nc=prov_named["nc"], nwfa=prov_named["nwfa"],
+            nifa=prov_named["nifa"])
         out, ppt, diag = batched_microphysics(
             micro_in, pres2, w_cent, dzq2, dt, tables, cfg)
 
         new = KidState(
             theta=out.t / exner, qv=out.qv, qc=out.qc, qr=out.qr,
-            nr=out.nr, qi=out.qi, ni=out.ni, qs=out.qs, qg=out.qg)
+            nr=out.nr, qi=out.qi, ni=out.ni, qs=out.qs, qg=out.qg,
+            nc=out.nc, nwfa=out.nwfa, nifa=out.nifa)
         new_named = new._asdict()
         profs = {}
         for name in profile_names:

@@ -22,16 +22,16 @@ VARIANTS = {
     "full": [],
     # all big-table row gathers return constant rows
     "no_gather": [
-        ("rv = tables.racs[lin_s]",
-         "rv = jnp.zeros(lin_s.shape + (11,), dtype) + tables.racs[0]"),
-        ("gv = tables.racg[lin_g]",
-         "gv = jnp.zeros(lin_g.shape + (5,), dtype) + tables.racg[0]"),
-        ("fv = tables.qrfz[(idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]",
-         "fv = jnp.zeros(idx_r.shape + (4,), dtype) + tables.qrfz[0]"),
-        ("cv = tables.qcfz[idx_c * 45 + idx_tc]",
-         "cv = jnp.zeros(idx_c.shape + (2,), dtype) + tables.qcfz[0]"),
-        ("iv = tables.iaus[idx_i * c.NTB_I1 + idx_i1]",
-         "iv = jnp.zeros(idx_i.shape + (3,), dtype) + tables.iaus[0]"),
+        ("rv = tables.racs[:, lin_s]",
+         "rv = tables.racs[:, :1] + jnp.zeros((1,) + lin_s.shape, dtype)"),
+        ("gv = tables.racg[:, lin_g]",
+         "gv = tables.racg[:, :1] + jnp.zeros((1,) + lin_g.shape, dtype)"),
+        ("fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]",
+         "fv = tables.qrfz[:, :1] + jnp.zeros((1,) + idx_r.shape, dtype)"),
+        ("cv = tables.qcfz[:, idx_c * 45 + idx_tc]",
+         "cv = tables.qcfz[:, :1] + jnp.zeros((1,) + idx_c.shape, dtype)"),
+        ("iv = tables.iaus[:, idx_i * c.NTB_I1 + idx_i1]",
+         "iv = tables.iaus[:, :1] + jnp.zeros((1,) + idx_i.shape, dtype)"),
     ],
     # one-hot nu_c row fetches -> first row broadcast
     "no_onehot": [
@@ -61,31 +61,32 @@ VARIANTS = {
     ],
     # keep gathers, but feed them trivial indices (isolates index math)
     "triv_idx": [
-        ("rv = tables.racs[lin_s]",
-         "rv = tables.racs[(idx_tc % 2) * 0 + (lin_s * 0)]"),
-        ("gv = tables.racg[lin_g]",
-         "gv = tables.racg[lin_g * 0]"),
-        ("fv = tables.qrfz[(idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]",
-         "fv = tables.qrfz[idx_r * 0]"),
-        ("cv = tables.qcfz[idx_c * 45 + idx_tc]",
-         "cv = tables.qcfz[idx_c * 0]"),
-        ("iv = tables.iaus[idx_i * c.NTB_I1 + idx_i1]",
-         "iv = tables.iaus[idx_i * 0]"),
+        ("rv = tables.racs[:, lin_s]",
+         "rv = tables.racs[:, lin_s * 0]"),
+        ("gv = tables.racg[:, lin_g]",
+         "gv = tables.racg[:, lin_g * 0]"),
+        ("fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]",
+         "fv = tables.qrfz[:, idx_r * 0]"),
+        ("cv = tables.qcfz[:, idx_c * 45 + idx_tc]",
+         "cv = tables.qcfz[:, idx_c * 0]"),
+        ("iv = tables.iaus[:, idx_i * c.NTB_I1 + idx_i1]",
+         "iv = tables.iaus[:, idx_i * 0]"),
     ],
     # keep index math + gathers, discard gathered values (isolates unpack)
     "drop_rv": [
-        ("rv = tables.racs[lin_s]",
-         "rv = tables.racs[lin_s] * 0.0 + tables.racs[0]"),
-        ("gv = tables.racg[lin_g]",
-         "gv = tables.racg[lin_g] * 0.0 + tables.racg[0]"),
-        ("fv = tables.qrfz[(idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]",
-         "fv = tables.qrfz[(idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]"
-         " * 0.0 + tables.qrfz[0]"),
-        ("cv = tables.qcfz[idx_c * 45 + idx_tc]",
-         "cv = tables.qcfz[idx_c * 45 + idx_tc] * 0.0 + tables.qcfz[0]"),
-        ("iv = tables.iaus[idx_i * c.NTB_I1 + idx_i1]",
-         "iv = tables.iaus[idx_i * c.NTB_I1 + idx_i1] * 0.0"
-         " + tables.iaus[0]"),
+        ("rv = tables.racs[:, lin_s]",
+         "rv = tables.racs[:, lin_s] * 0.0 + tables.racs[:, :1]"),
+        ("gv = tables.racg[:, lin_g]",
+         "gv = tables.racg[:, lin_g] * 0.0 + tables.racg[:, :1]"),
+        ("fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]",
+         "fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]"
+         " * 0.0 + tables.qrfz[:, :1]"),
+        ("cv = tables.qcfz[:, idx_c * 45 + idx_tc]",
+         "cv = tables.qcfz[:, idx_c * 45 + idx_tc] * 0.0"
+         " + tables.qcfz[:, :1]"),
+        ("iv = tables.iaus[:, idx_i * c.NTB_I1 + idx_i1]",
+         "iv = tables.iaus[:, idx_i * c.NTB_I1 + idx_i1] * 0.0"
+         " + tables.iaus[:, :1]"),
     ],
     # pow -> cheap (keeps data flowing, removes transcendentals)
     "cheap_pow": [
@@ -96,10 +97,10 @@ VARIANTS = {
     ],
     # Field-2005 snow moments -> constants
     "no_field": [
-        ("def _field_moment(smo2, tc0, m: float):",
-         "def _field_moment(smo2, tc0, m: float):\n"
-         "    return smo2 * (1.0 + 1e-6 * tc0)\n\n\n"
-         "def _field_moment_dead(smo2, tc0, m: float):"),
+        ("def _field_moment(log10_smo2, tc0, m: float):",
+         "def _field_moment(log10_smo2, tc0, m: float):\n"
+         "    return log10_smo2 * (1.0 + 1e-6 * tc0)\n\n\n"
+         "def _field_moment_dead(log10_smo2, tc0, m: float):"),
     ],
 }
 
@@ -140,14 +141,17 @@ def main():
         # np.asarray() sync (block_until_ready can return early on axon)
         import numpy as _np
 
-        @jax.jit
+        from functools import partial as _partial
+
+        @_partial(jax.jit, donate_argnums=(0,))
         def step(st, pres, w, dzq, tables):
             new, _, _ = mod.batched_microphysics(st, pres, w, dzq, 10.0,
                                                  tables, cfg)
             return new
 
-        st = jax.block_until_ready(step(state, pres, w, dzq, tables))
-        n = 10
+        st = step(state, pres, w, dzq, tables)
+        _np.asarray(st.qr)
+        n = 30
         t0 = time.perf_counter()
         for _ in range(n):
             st = step(st, pres, w, dzq, tables)

@@ -91,14 +91,17 @@ def main():
         # np.asarray() sync (block_until_ready can return early on axon)
         import numpy as _np
 
-        @jax.jit
+        from functools import partial as _partial
+
+        @_partial(jax.jit, donate_argnums=(0,))
         def step(st, pres, w, dzq, tables):
             new, _, _ = mod.batched_microphysics(st, pres, w, dzq, 10.0,
                                                  tables, cfg)
             return new
 
-        st = jax.block_until_ready(step(state, pres, w, dzq, tables))
-        n = 10
+        st = step(state, pres, w, dzq, tables)
+        _np.asarray(st.qr)
+        n = 30
         t0 = time.perf_counter()
         for _ in range(n):
             st = step(st, pres, w, dzq, tables)

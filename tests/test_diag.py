@@ -234,7 +234,8 @@ def test_wrf_adapter_negqv_repair_unit():
 
 def test_checkpoint_roundtrip_and_fingerprint(tmp_path):
     from kid_tpu.utils.checkpoint import RunCheckpointer
-    st = KidState(*[jnp.full((4, 8), float(i)) for i in range(9)])
+    st = KidState(*[jnp.full((4, 8), float(i))
+                   for i in range(len(KidState._fields))])
     ck = RunCheckpointer(str(tmp_path), "warm1")
     assert ck.latest_step() is None
     ck.save(7, st)
