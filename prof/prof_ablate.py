@@ -23,15 +23,15 @@ VARIANTS = {
     # all big-table row gathers return constant rows
     "no_gather": [
         ("rv = tables.racs[:, lin_s]",
-         "rv = tables.racs[:, :1] + jnp.zeros((1,) + lin_s.shape, dtype)"),
+         "rv = tables.racs[:, :1, None] * jnp.ones(lin_s.shape, dtype)"),
         ("gv = tables.racg[:, lin_g]",
-         "gv = tables.racg[:, :1] + jnp.zeros((1,) + lin_g.shape, dtype)"),
+         "gv = tables.racg[:, :1, None] * jnp.ones(lin_g.shape, dtype)"),
         ("fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]",
-         "fv = tables.qrfz[:, :1] + jnp.zeros((1,) + idx_r.shape, dtype)"),
+         "fv = tables.qrfz[:, :1, None] * jnp.ones(idx_r.shape, dtype)"),
         ("cv = tables.qcfz[:, idx_c * 45 + idx_tc]",
-         "cv = tables.qcfz[:, :1] + jnp.zeros((1,) + idx_c.shape, dtype)"),
+         "cv = tables.qcfz[:, :1, None] * jnp.ones(idx_c.shape, dtype)"),
         ("iv = tables.iaus[:, idx_i * c.NTB_I1 + idx_i1]",
-         "iv = tables.iaus[:, :1] + jnp.zeros((1,) + idx_i.shape, dtype)"),
+         "iv = tables.iaus[:, :1, None] * jnp.ones(idx_i.shape, dtype)"),
     ],
     # one-hot nu_c row fetches -> first row broadcast
     "no_onehot": [
@@ -75,18 +75,18 @@ VARIANTS = {
     # keep index math + gathers, discard gathered values (isolates unpack)
     "drop_rv": [
         ("rv = tables.racs[:, lin_s]",
-         "rv = tables.racs[:, lin_s] * 0.0 + tables.racs[:, :1]"),
+         "rv = tables.racs[:, lin_s] * 0.0 + tables.racs[:, :1, None]"),
         ("gv = tables.racg[:, lin_g]",
-         "gv = tables.racg[:, lin_g] * 0.0 + tables.racg[:, :1]"),
+         "gv = tables.racg[:, lin_g] * 0.0 + tables.racg[:, :1, None]"),
         ("fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]",
          "fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]"
-         " * 0.0 + tables.qrfz[:, :1]"),
+         " * 0.0 + tables.qrfz[:, :1, None]"),
         ("cv = tables.qcfz[:, idx_c * 45 + idx_tc]",
          "cv = tables.qcfz[:, idx_c * 45 + idx_tc] * 0.0"
-         " + tables.qcfz[:, :1]"),
+         " + tables.qcfz[:, :1, None]"),
         ("iv = tables.iaus[:, idx_i * c.NTB_I1 + idx_i1]",
          "iv = tables.iaus[:, idx_i * c.NTB_I1 + idx_i1] * 0.0"
-         " + tables.iaus[:, :1]"),
+         " + tables.iaus[:, :1, None]"),
     ],
     # pow -> cheap (keeps data flowing, removes transcendentals)
     "cheap_pow": [
@@ -149,7 +149,9 @@ def main():
                                                  tables, cfg)
             return new
 
-        st = step(state, pres, w, dzq, tables)
+        # donation consumes the input; give each variant a copy
+        st = step(jax.tree.map(lambda x: x.copy(), state),
+                  pres, w, dzq, tables)
         _np.asarray(st.qr)
         n = 30
         t0 = time.perf_counter()

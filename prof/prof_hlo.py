@@ -4,8 +4,10 @@ Usage: python prof_hlo.py [git-rev]   (rev = use solver.py from that rev)
 import collections
 import re
 import subprocess
+import os
 import sys
 import types
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -36,12 +38,12 @@ def main():
                                          dtype=jnp.float32)
 
     @jax.jit
-    def step(st):
+    def step(st, pres, w, dzq, tables):
         new, _, _ = mod.batched_microphysics(st, pres, w, dzq, 10.0,
                                              tables, cfg)
         return new
 
-    compiled = step.lower(state).compile()
+    compiled = step.lower(state, pres, w, dzq, tables).compile()
     txt = compiled.as_text()
     ops = collections.Counter()
     fusion_kinds = collections.Counter()

@@ -99,7 +99,9 @@ def main():
                                                  tables, cfg)
             return new
 
-        st = step(state, pres, w, dzq, tables)
+        # donation consumes the input; give each variant a copy
+        st = step(jax.tree.map(lambda x: x.copy(), state),
+                  pres, w, dzq, tables)
         _np.asarray(st.qr)
         n = 30
         t0 = time.perf_counter()
