@@ -62,7 +62,7 @@ def main():
     @partial(jax.jit, donate_argnums=(0,))
     def step(st, pres, w, dzq, tables):
         new, _, _ = batched_microphysics(st, pres, w, dzq, 10.0, tables,
-                                         cfg)
+                                         cfg, want_rates=False)
         return new
 
     # warmup / compile

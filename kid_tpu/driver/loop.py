@@ -164,6 +164,9 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
     odt = 1.0 / dt
     cfg = case.micro
     one_d = u_pat_faces is None
+    # only materialize the 36 per-process rate profiles when a requested
+    # diagnostic stream actually needs them
+    want_rates = any(n in RATE_NAMES for n in profile_names)
 
     def step(st: KidState, istep):
         t = istep.astype(dtype) * dt
@@ -203,7 +206,8 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
             nc=prov_named["nc"], nwfa=prov_named["nwfa"],
             nifa=prov_named["nifa"])
         out, ppt, diag = batched_microphysics(
-            micro_in, pres2, w_cent, dzq2, dt, tables, cfg)
+            micro_in, pres2, w_cent, dzq2, dt, tables, cfg,
+            want_rates=want_rates)
 
         new = KidState(
             theta=out.t / exner, qv=out.qv, qc=out.qc, qr=out.qr,

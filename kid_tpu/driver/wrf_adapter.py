@@ -45,7 +45,7 @@ def _cols_to_ikj(a, ni, nj):
     return jnp.moveaxis(a.reshape(ni, nj, a.shape[-1]), -1, 1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "want_eff_rad"))
+@partial(jax.jit, static_argnames=("cfg", "want_eff_rad", "dt"))
 def mp_driver_3d(qv, qc, qr, qi, qs, qg, ni, nr, th, pii, p, w, dz,
                  dt, rainnc, snownc, graupelnc,
                  tables: Tables, cfg: MicroConfig,

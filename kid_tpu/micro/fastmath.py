@@ -25,6 +25,14 @@ def exp10(x):
     return jnp.exp(x * jnp.asarray(_LN10, x.dtype))
 
 
+def _cbrt(x):
+    """Nonnegative cube root as exp(log(x)/3): Mosaic (Pallas TPU) has no
+    cbrt primitive; every PSD argument here is >= 0 (log(0) -> -inf ->
+    exp -> 0 is exact).  ~2 ulp vs jnp.cbrt, well inside the rtol 1e-4
+    oracle budget."""
+    return jnp.exp(jnp.log(x) * (1.0 / 3.0))
+
+
 def _int_pow(x, k: int):
     """x**k for small non-negative integer k by binary squaring."""
     if k == 0:
@@ -55,9 +63,9 @@ def powc(x, p) -> jnp.ndarray:
     elif abs(f - 0.5) < 1e-12:
         extra = jnp.sqrt(x)
     elif abs(f - 1.0 / 3.0) < 1e-12:
-        extra = jnp.cbrt(x)
+        extra = _cbrt(x)
     elif abs(f - 2.0 / 3.0) < 1e-12:
-        cr = jnp.cbrt(x)
+        cr = _cbrt(x)
         extra = cr * cr
     elif abs(f - 0.25) < 1e-12:
         extra = jnp.sqrt(jnp.sqrt(x))
@@ -65,7 +73,7 @@ def powc(x, p) -> jnp.ndarray:
         s = jnp.sqrt(x)
         extra = s * jnp.sqrt(s)
     elif abs(f - 1.0 / 6.0) < 1e-12:
-        extra = jnp.sqrt(jnp.cbrt(x))
+        extra = jnp.sqrt(_cbrt(x))
     else:
         return jnp.power(x, p)
     ip = _int_pow(x, k)

@@ -164,6 +164,18 @@ _SA = tuple(float(x) for x in c.SA)
 _SB = tuple(float(x) for x in c.SB)
 
 
+def _use_pallas(ndim: int) -> bool:
+    """Gate for running the phase 8-11 block as one fused Pallas kernel
+    (KID_TPU_PALLAS=1).  Kernel-only timing beats the XLA inline block
+    2.2x (7.35 vs 16.4 ms at (8192,120)), but hoisting the block out of
+    XLA currently breaks the table-gather consumer fusions and the
+    channel materialization eats the win (35 vs 23.6 ms full-step), so
+    the default stays inline until the gather-side restructuring lands."""
+    import os
+    mode = os.environ.get("KID_TPU_PALLAS", "0")
+    return mode == "1" and ndim >= 2
+
+
 def _field_ab(tc0, m: float):
     """Field et al. (2005) moment-regression coefficients (loga_, b_) at
     moment-order ``m`` (the pattern at f90:1556-1626 with static M)."""
@@ -284,181 +296,105 @@ _DS1 = float(c.DS_BINS[0])
 _DSN = float(c.DS_BINS[-1])
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
-                        tables: DeviceTables, cfg: MicroConfig):
-    """One microphysics timestep on one column.
+def _nr_from_mvd(rr_, mvd):
+    lam = (3.0 + c.MU_R + 0.672) / mvd
+    return CRG[2] * c.ORG3 * rr_ * powc(lam, c.BM_R) / c.AM_R
 
-    Args:
-      state: ColumnState of (nz,) arrays (bottom = index 0 = kts).
-      pres:  pressure [Pa], (nz,).
-      w1d:   vertical velocity [m/s] (only used by aerosol activation).
-      dzq:   layer thickness [m], (nz,).
-      dt:    timestep [s] (scalar).
-      tables: device lookup tables.
-      cfg:   static MicroConfig.
 
-    Returns:
-      (new ColumnState, Precip, diagnostics dict of process-rate profiles).
+def _rows_const(mat, idx, dtype):
+    """Exact ``mat[idx]`` row lookup for a small HOST (numpy) matrix via an
+    unrolled select chain — gather- and dot-free, so it lowers cleanly
+    inside a Pallas kernel (the one-hot MXU form of ``_rows`` needs a 3-D
+    dot_general that Mosaic does not take)."""
+    rows = [tuple(float(v) for v in r) for r in np.asarray(mat)]
+    outs = []
+    for j in range(len(rows[0])):
+        accj = jnp.full(idx.shape, rows[0][j], dtype)
+        for k in range(1, len(rows)):
+            accj = jnp.where(idx == k, jnp.asarray(rows[k][j], dtype), accj)
+        outs.append(accj)
+    return outs
 
-    Physics per mp_thompson (module_mp_thompson09n.f90:1156-3688); phase
-    numbers refer to SURVEY.md §3.2b.
+
+# input channel names for the phase 8-11 rates block; base channels feed
+# the warm physics, ice channels exist only when ``not cfg.iiwarm``, aero
+# channels only in aerosol-aware mode.  The gathered table-family values
+# (rv/gv/fv/cv/iv, ef_rw/ef_sw) are computed by the caller, so the block
+# itself is PURE ELEMENTWISE code — runnable as plain jnp or VMEM-resident
+# inside one fused Pallas kernel (pallas_step.py).
+P8_BASE = ("temp", "qv", "qc1d", "nc1d", "qi1d", "ni1d", "qr1d", "nr1d",
+           "qs1d", "qg1d", "rho", "rc", "nc", "ri", "ni", "rr", "nr",
+           "rs", "rg", "rhof", "rhof2", "qvs", "qvsi", "delqvs", "ssatw",
+           "ssati", "diffu", "visco", "vsc2", "ocp", "lvap", "tcond",
+           "ilamr", "mvd_r", "n0_r", "mvd_c", "xdc", "lamc", "dc_g",
+           "nu_c_f", "ef_rw")
+P8_ICE = ("smo0", "smo1", "smob", "smoc", "smoe", "smof", "ilamg", "n0_g",
+          "xds", "ef_sw", "idx_i_top_f", "rv", "gv", "fv", "cv", "iv")
+P8_AERO = ("nwfa", "nifa")
+P8_OUT = ("tten", "qvten", "qcten", "ncten", "qiten", "niten", "qrten",
+          "nrten", "qsten", "qgten", "nwfaten", "nifaten", "vts_boost",
+          "mvd_r_new", "prr_gml")
+P8_RATES = ('prr_wau', 'prr_rcw', 'pnr_wau', 'pnr_rcr', 'pri_inu', 'pri_ide', 'prs_ide', 'prs_sde', 'prg_gde', 'pri_wfz', 'prs_scw', 'prg_scw', 'prg_gcw', 'pri_ihm', 'pri_rfz', 'prs_iau', 'prs_sci', 'pri_rci', 'pni_inu', 'pni_ihm', 'pni_wfz', 'pni_rfz', 'pni_ide', 'pni_iau', 'pni_sci', 'pni_rci', 'prr_sml', 'pnr_rcs', 'pnr_rcg', 'pnr_rci', 'pnr_sml', 'pnr_gml', 'pnr_rfz')
+
+
+def rates_and_tendencies(pro, cfg, dt_f, want_rates=True):
+    """Phases 8-11 of mp_thompson (f90:1676-2569): the ~45 process rates,
+    conservation ratio-clamps and tendency assembly, as one pure
+    elementwise function of the prologue products in ``pro``.
+
+    Table lookups happen in the CALLER (per-cell gathers of the stacked
+    families + the Efrw/Efsw 2-D lookups); this function is gather-free so
+    the whole block can run VMEM-resident inside one Pallas kernel.
+    Returns a dict with P8_OUT keys (+ P8_RATES when ``want_rates``).
     """
-    nz = state.qv.shape[-1]
-    dtype = state.qv.dtype
+    dtype = pro["qv"].dtype
     one = jnp.asarray(1.0, dtype)
-    dt = jnp.asarray(dt, dtype)
+    dt = jnp.asarray(dt_f, dtype)
     odt = one / dt
-    odts = odt          # dtsave == dt (f90:1277-1279)
+    odts = odt
     nt_c = cfg.nt_c
-    z = jnp.zeros_like(state.qv)
+    z = jnp.zeros_like(pro["qv"])
 
-    t1d, qv1d = state.t, state.qv
-    qc1d, qi1d, qr1d = state.qc, state.qi, state.qr
-    qs1d, qg1d = state.qs, state.qg
-    ni1d, nr1d, nc1d = state.ni, state.nr, state.nc
-    nwfa1d, nifa1d = state.nwfa, state.nifa
-
-    # ---- phase 2: load column, presence flags, PSD sanity clamps ----------
-    # (f90:1387-1493)
-    temp = t1d
-    qv = jnp.maximum(1.0e-10, qv1d)
-    rho = 0.622 * pres / (c.R_GAS * temp * (qv + 0.622))
-    orho0 = 1.0 / rho
-    nwfa = jnp.clip(nwfa1d * rho, 11.1e6, 9999.0e6)
-    nifa = jnp.clip(nifa1d * rho, c.NA_IN1 * 0.01, 9999.0e6)
-
-    # cloud water (f90:1395-1418)
-    l_qc = qc1d > c.R1
-    qc1d = jnp.where(l_qc, qc1d, 0.0)
-    nc1d = jnp.where(l_qc, nc1d, 0.0)
-    rc = jnp.where(l_qc, qc1d * rho, c.R1)
-    nuc_coef = jnp.asarray(_NUC_COEF, dtype)
-    nc_raw = jnp.maximum(2.0, nc1d * rho)
-    nu_c = jnp.minimum(15, fnint(1000.0e6 / nc_raw) + 2).astype(jnp.int32)
-    cf = _rows(nuc_coef, nu_c)
-    ccg1_n, ccg2_n, ocg1_n, ocg2_n, cce2_n = (
-        cf[..., 0], cf[..., 1], cf[..., 3], cf[..., 4], cf[..., 5])
-    lamc = powc(nc_raw * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
-    xdc = (c.BM_R + nu_c.astype(dtype) + 1.0) / lamc
-    lamc = jnp.where(xdc < c.D0C, cce2_n / c.D0C,
-                     jnp.where(xdc > c.D0R * 2.0, cce2_n / (c.D0R * 2.0),
-                               lamc))
-    nc_cl = jnp.minimum(c.NT_C_MAX,
-                        ccg1_n * ocg2_n * rc / c.AM_R
-                        * powc(lamc, c.BM_R))
-    if not cfg.is_aerosol_aware:
-        nc_cl = jnp.full_like(nc_cl, nt_c)        # f90:1410
-    nc = jnp.where(l_qc, nc_cl, 2.0)
-
-    # cloud ice (f90:1420-1445)
-    l_qi = qi1d > c.R1
-    qi1d = jnp.where(l_qi, qi1d, 0.0)
-    ni1d = jnp.where(l_qi, ni1d, 0.0)
-    ri = jnp.where(l_qi, qi1d * rho, c.R1)
-    ni0 = jnp.maximum(c.R2, ni1d * rho)
-    ni_fix = jnp.minimum(499.0e3, CIG[1] * c.OIG2 * ri / c.AM_I
-                         * powc(CIE[2] / 25.0e-6, c.BM_I))
-    ni1 = jnp.where(ni1d * rho <= c.R2, ni_fix, ni0)
-    lami = powc(c.AM_I * CIG[2] * c.OIG1 * ni1 / ri, c.OBMI)
-    xdi = (c.BM_I + c.MU_I + 1.0) / lami
-    ni2 = jnp.where(
-        xdi < 5.0e-6,
-        jnp.minimum(499.0e3, CIG[1] * c.OIG2 * ri / c.AM_I
-                    * powc(CIE[2] / 5.0e-6, c.BM_I)),
-        jnp.where(xdi > 300.0e-6,
-                  CIG[1] * c.OIG2 * ri / c.AM_I
-                  * powc(CIE[2] / 300.0e-6, c.BM_I),
-                  ni1))
-    ni = jnp.where(l_qi, ni2, c.R2)
-
-    # rain (f90:1447-1474)
-    l_qr = qr1d > c.R1
-    qr1d = jnp.where(l_qr, qr1d, 0.0)
-    nr1d = jnp.where(l_qr, nr1d, 0.0)
-    rr = jnp.where(l_qr, qr1d * rho, c.R1)
-    nr0 = jnp.maximum(c.R2, nr1d * rho)
-
-    def _nr_from_mvd(rr_, mvd):
-        lam = (3.0 + c.MU_R + 0.672) / mvd
-        return CRG[2] * c.ORG3 * rr_ * powc(lam, c.BM_R) / c.AM_R
-
-    nr1 = jnp.where(nr1d * rho <= c.R2, _nr_from_mvd(rr, 1.0e-3), nr0)
-    lamr = powc(c.AM_R * CRG[3] * c.ORG2 * nr1 / rr, c.OBMR)
-    mvd0 = (3.0 + c.MU_R + 0.672) / lamr
-    nr2 = jnp.where(mvd0 > 2.5e-3, _nr_from_mvd(rr, 2.5e-3),
-                    jnp.where(mvd0 < c.D0R * 0.75,
-                              _nr_from_mvd(rr, c.D0R * 0.75), nr1))
-    nr = jnp.where(l_qr, nr2, c.R2)
-    mvd_r = jnp.where(l_qr, jnp.clip(mvd0, c.D0R * 0.75, 2.5e-3), c.D0C)
-
-    # snow / graupel (f90:1475-1492)
-    l_qs = qs1d > c.R1
-    qs1d = jnp.where(l_qs, qs1d, 0.0)
-    rs = jnp.where(l_qs, qs1d * rho, c.R1)
-    l_qg = qg1d > c.R1
-    qg1d = jnp.where(l_qg, qg1d, 0.0)
-    rg = jnp.where(l_qg, qg1d * rho, c.R1)
-
-    # ---- phase 3: thermodynamics (f90:1503-1533) --------------------------
+    temp = pro["temp"]; qv = pro["qv"]
+    qc1d = pro["qc1d"]; nc1d = pro["nc1d"]; qi1d = pro["qi1d"]
+    ni1d = pro["ni1d"]; qr1d = pro["qr1d"]; nr1d = pro["nr1d"]
+    qs1d = pro["qs1d"]; qg1d = pro["qg1d"]
+    rho = pro["rho"]; rc = pro["rc"]; nc = pro["nc"]; ri = pro["ri"]
+    ni = pro["ni"]; rr = pro["rr"]; nr = pro["nr"]; rs = pro["rs"]
+    rg = pro["rg"]
+    rhof = pro["rhof"]; rhof2 = pro["rhof2"]; qvs = pro["qvs"]
+    qvsi = pro["qvsi"]; delqvs = pro["delqvs"]; ssatw = pro["ssatw"]
+    ssati = pro["ssati"]; diffu = pro["diffu"]; visco = pro["visco"]
+    vsc2 = pro["vsc2"]; ocp = pro["ocp"]; lvap = pro["lvap"]
+    tcond = pro["tcond"]
+    ilamr = pro["ilamr"]; mvd_r = pro["mvd_r"]; n0_r = pro["n0_r"]
+    mvd_c = pro["mvd_c"]; xdc = pro["xdc"]; lamc = pro["lamc"]
+    dc_g = pro["dc_g"]; ef_rw = pro["ef_rw"]
+    nu_c = pro["nu_c_f"]            # float; .astype(dtype) is a no-op
     tempc = temp - 273.15
-    rhof = jnp.sqrt(c.RHO_NOT / rho)
-    rhof2 = jnp.sqrt(rhof)
-    qvs = rslf(pres, temp)
-    delqvs = jnp.maximum(0.0, rslf(pres, jnp.full_like(temp, 273.15)) - qv)
-    qvsi = jnp.where(tempc <= 0.0, rsif(pres, temp), qvs)
-    satw = qv / qvs
-    sati = qv / qvsi
-    ssatw = satw - 1.0
-    ssati = sati - 1.0
-    ssatw = jnp.where(jnp.abs(ssatw) < c.EPS, 0.0, ssatw)
-    ssati = jnp.where(jnp.abs(ssati) < c.EPS, 0.0, ssati)
-    diffu = 2.11e-5 * powc(temp / 273.15, 1.94) * (101325.0 / pres)
-    visco = jnp.where(tempc >= 0.0,
-                      (1.718 + 0.0049 * tempc) * 1.0e-5,
-                      (1.718 + 0.0049 * tempc - 1.2e-5 * tempc ** 2) * 1.0e-5)
-    ocp = 1.0 / (c.CP * (1.0 + 0.887 * qv))
-    vsc2 = jnp.sqrt(rho / visco)
-    lvap = c.LVAP0 + (2106.0 - 4218.0) * tempc
-    tcond = (5.69 + 0.0168 * tempc) * 1.0e-5 * 418.936
-
-    # ---- phase 5: snow moments (f90:1545-1628) ----------------------------
+    l_qc = qc1d > c.R1
+    l_qi = qi1d > c.R1
+    l_qr = qr1d > c.R1
+    l_qs = qs1d > c.R1
+    l_qg = qg1d > c.R1
     if not cfg.iiwarm:
-        sm = _snow_moments(rs, temp, l_qs,
-                           [("0", 0.0), ("1", 1.0), ("c", CSE[1]),
-                            ("e", CSE[13]), ("f", CSE[16])])
-        smo0, smo1, smob = sm["0"], sm["1"], sm["b"]
-        smoc, smoe, smof = sm["c"], sm["e"], sm["f"]
-    else:
-        smo0 = smo1 = smob = smoc = smoe = smof = z
-
-    # ---- phase 6: graupel PSD with running-min N0 scan (f90:1633-1656) ----
-    if not cfg.iiwarm:
-        ilamg, n0_g = _graupel_psd(rg, temp, l_qr, mvd_r, nz)
-    else:
-        ilamg, n0_g = z + 1.0, z
-
-    # ---- phase 7: rain PSD (f90:1661-1666) --------------------------------
-    ilamr, mvd_r, n0_r = _rain_psd(rr, nr)
+        smo0 = pro["smo0"]; smo1 = pro["smo1"]; smob = pro["smob"]
+        smoc = pro["smoc"]; smoe = pro["smoe"]; smof = pro["smof"]
+        ilamg = pro["ilamg"]; n0_g = pro["n0_g"]; xds = pro["xds"]
+        ef_sw = pro["ef_sw"]
+        idx_i_top = pro["idx_i_top_f"] > 0.5
+        rv = pro["rv"]; gv = pro["gv"]; fv = pro["fv"]
+        cv = pro["cv"]; iv = pro["iv"]
+    if cfg.is_aerosol_aware:
+        nwfa = pro["nwfa"]; nifa = pro["nifa"]
 
     # ---- phase 8: warm-rain process rates (f90:1676-1742) -----------------
     # rain self-collection + Verlinde-Cotton breakup (f90:1680-1686)
     ef_rr = 1.0 - jnp.exp(jnp.minimum(2300.0 * (mvd_r - 1950.0e-6), 50.0))
     pnr_rcr = jnp.where(l_qr & (mvd_r > c.D0R), ef_rr * 2.0 * nr * rr, 0.0)
 
-    # cloud mvd (f90:1688-1694); nu_c/lamc recomputed from current nc
-    nu_c = jnp.minimum(15, fnint(1000.0e6 / nc) + 2).astype(jnp.int32)
-    cf = _rows(nuc_coef, nu_c)
-    ccg1_n, ccg2_n, ccg3_n, ocg1_n, ocg2_n = (
-        cf[..., 0], cf[..., 1], cf[..., 2], cf[..., 3], cf[..., 4])
-    xdc = jnp.maximum(c.D0C * 1.0e6,
-                      powc(rc / (c.AM_R * nc), c.OBMR) * 1.0e6)
-    lamc = powc(nc * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
-    mvd_c = jnp.where(l_qc, (3.0 + nu_c.astype(dtype) + 0.672) / lamc, c.D0C)
-
     # Berry & Reinhardt autoconversion (f90:1698-1712)
     au = rc > 0.01e-3
-    dc_g = powc(ccg3_n * ocg2_n, c.OBMR) / lamc * 1.0e6
     dc_b = powc(_relu(xdc ** 3 * dc_g ** 3 - xdc ** 6), 1.0 / 6.0)
     zeta1 = _relu(6.25e-6 * xdc * dc_b ** 3 - 0.4)
     zeta = 0.027 * rc * zeta1
@@ -472,9 +408,6 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
     # rain collecting cloud water via t_Efrw (f90:1715-1726)
     rcw = l_qr & (mvd_r > c.D0R) & (mvd_c > c.D0C)
-    idx_rw = log_bin_index(jnp.maximum(mvd_r, _DR1), _DR1, _DRN, c.NBR)
-    idx_cw = jnp.clip((mvd_c * 1.0e6).astype(jnp.int32), 1, c.NBC) - 1
-    ef_rw = _lookup2d(tables.t_efrw, idx_rw, idx_cw)
     lamr = 1.0 / ilamr
     geo_r = powc(lamr + c.FV_R, -CRE[9])
     prr_rcw = jnp.where(
@@ -512,53 +445,18 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     prg_scw = z; prg_rfz = z; prg_gde = z; prg_gcw = z
     prg_rcs = z; prg_rcg = z; prg_ihm = z
     prr_sml = z; pnr_sml = z; prr_gml = z; pnr_gml = z
-    vts_boost = jnp.full_like(state.qv, 1.5)
+    vts_boost = jnp.full_like(qv, 1.5)
 
     if not cfg.iiwarm:
         t_lt_0 = temp < c.T_0
         vts_boost = jnp.where(t_lt_0, 1.0, 1.5)      # f90:1751,2027
-
-        # temperature / species table indices (f90:1753-1881, 2050-2062)
-        idx_tc = jnp.clip(fnint(-tempc).astype(jnp.int32), 1, 45) - 1
-        idx_t0 = ((tempc - 2.5) / 5.0).astype(jnp.int32) - 1
-        idx_t = jnp.clip(jnp.maximum(1, -idx_t0), 1, c.NTB_T) - 1
-        has_r = rr > _RR1
-        has_g = rg > _RG1
-        lam_exp_r = (1.0 / ilamr) * (CRG[3] * c.ORG2 * c.ORG1) ** c.BM_R
-        n0_exp_r = c.ORG1 * rr / c.AM_R * powc(lam_exp_r, CRE[1])
-        lam_exp_g = (1.0 / ilamg) * (CGG[3] * c.OGG2 * c.OGG1) ** c.BM_G
-        n0_exp_g = c.OGG1 * rg / c.AM_G * powc(lam_exp_g, CGE[1])
-
-        # all 8 decade indices in ONE stacked call: the log10/pow chain
-        # runs once over an (8, ...) stack instead of fragmenting into 8
-        # small kernel groups (measured ~2x whole-step win on a v5e).
-        stack = jnp.stack([rc, ri, ni, rr, n0_exp_r, rs, rg, n0_exp_g])
-        shp = (8,) + (1,) * (state.qv.ndim)
-        n2v = jnp.asarray([c.NIC2, c.NII2, c.NII3, c.NIR2, c.NIR3,
-                           c.NIS2, c.NIG2, c.NIG3],
-                          jnp.int32).reshape(shp)
-        ntbv = jnp.asarray([c.NTB_C, c.NTB_I, c.NTB_I1, c.NTB_R,
-                            c.NTB_R1, c.NTB_S, c.NTB_G, c.NTB_G1],
-                           jnp.int32).reshape(shp)
-        idx8 = decade_index(stack, n2v, ntbv)
-        idx_c = jnp.where(rc > _RC1, idx8[0], 0)
-        idx_i = jnp.where(ri > _RI1, idx8[1], 0)
-        idx_i1 = jnp.where(ni > _NTI1, idx8[2], 0)
-        idx_r = jnp.where(has_r, idx8[3], 0)
-        idx_r1 = jnp.where(has_r, idx8[4], c.NTB_R1 - 1)
-        idx_s = jnp.where(rs > _RS1, idx8[5], 0)
-        idx_g = jnp.where(has_g, idx8[6], 0)
-        idx_g1 = jnp.where(has_g, idx8[7], c.NTB_G1 - 1)
 
         # sublimation/deposition prefactor (f90:1883-1900)
         t1_subl, rvs_i = _subl_prefactor(temp, qvsi, rho, diffu, tcond,
                                          ssati, c.LSUB, 4.0 * c.PI)
 
         # snow collecting cloud water via t_Efsw (f90:1902-1913)
-        xds = jnp.where(l_qs, smoc / jnp.maximum(smob, 1e-30), 0.0)
         scw = l_qc & (mvd_c > c.D0C) & (xds > c.D0S)
-        idx_sw = log_bin_index(jnp.maximum(xds, _DS1), _DS1, _DSN, c.NBS)
-        ef_sw = _lookup2d(tables.t_efsw, idx_sw, idx_cw)
         prs_scw = jnp.where(scw, rhof * c.T1_QS_QC * ef_sw * rc * smoe, 0.0)
         pnc_scw = jnp.where(
             scw, jnp.minimum(nc * odts,
@@ -610,9 +508,6 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         # rain<->snow collection via the stacked 11-table family
         # (f90:1961-1997): ONE row gather per level instead of 11 scattered
         # gathers (order _RACS)
-        lin_s = ((idx_s * c.NTB_T + idx_t) * c.NTB_R1 + idx_r1) * c.NTB_R \
-            + idx_r
-        rv = tables.racs[:, lin_s]
         (t_racs1, t_racs2, m_racs1, m_racs2, t_sacr1, t_sacr2, ms_sacr1,
          n_racs1, n_racs2, n_sacr1, n_sacr2) = [
             rv[j] for j in range(11)]
@@ -641,9 +536,6 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
         # rain<->graupel collection via the stacked 5-table family
         # (f90:1999-2018), order _RACG
-        lin_g = ((idx_g1 * c.NTB_G + idx_g) * c.NTB_R1 + idx_r1) * c.NTB_R \
-            + idx_r
-        gv = tables.racg[:, lin_g]
         rg_on = (rr >= _RR1) & (rg >= _RG1)
         prg_rcg_c = jnp.minimum(rr * odts, gv[0] + gv[1])
         pnr_rcg_c = jnp.minimum(nr * odts, gv[2] + gv[3])
@@ -659,15 +551,8 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         # ---------- processes only below 0C (f90:2025-2231) ----------------
         rate_max_i = (qv - qvsi) * rho * odts * 0.999   # f90:2028
 
-        # ice nuclei count (Cooper default when not aerosol-aware, f90:2043-2047)
-        xni_in = jnp.full_like(state.qv, 1.0e3)
-        idx_in = jnp.where(xni_in > _NTIN1,
-                           decade_index(xni_in, c.NIIN2, c.NTB_IN), 0)
-        del idx_in  # IN index feeds no table in the non-aerosol path
-
         # rain freezing, Bigg 1953 via the stacked 4-table family
         # (f90:2065-2076), order _QRFZ
-        fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]
         frz_tab = t_lt_0 & (rr > _RR1)
         frz_hom = t_lt_0 & ~(rr > _RR1) & (rr > c.R1) & (temp < c.HGFR)
         prg_rfz = jnp.where(frz_tab, fv[0] * odts, 0.0)
@@ -680,7 +565,6 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                             jnp.where(frz_hom, nr * odts, 0.0))
 
         # cloud water freezing via the stacked pair (f90:2077-2086), _QCFZ
-        cv = tables.qcfz[:, idx_c * 45 + idx_tc]
         wfz_tab = t_lt_0 & (rc > _RC1)
         wfz_hom = t_lt_0 & ~(rc > _RC1) & (rc > c.R1) & (temp < c.HGFR)
         pri_wfz = jnp.where(
@@ -733,7 +617,6 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         pni_ide_neg = jnp.maximum(-ni * odts, ide_neg * oxmi)
         ide_pos = jnp.minimum(ide0, rate_max_i)
         # stacked (tpi_ide, tps_iaus, tni_iaus) family, order _IAUS
-        iv = tables.iaus[:, idx_i * c.NTB_I1 + idx_i1]
         tide = iv[0]
         ice_on = t_lt_0 & l_qi
         pri_ide = jnp.where(ice_on,
@@ -744,7 +627,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                             (1.0 - tide) * ide_pos, 0.0)
 
         # ice -> snow autoconversion (f90:2135-2148)
-        iau_big = (idx_i == c.NTB_I - 1) | (xdi > 5.0 * c.D0S)
+        iau_big = idx_i_top | (xdi > 5.0 * c.D0S)
         iau_small = xdi < 0.1 * c.D0S
         prs_iau_t = jnp.minimum(ri * 0.99 * odts, iv[1] * odts)
         pni_iau_t = jnp.minimum(ni * 0.95 * odts, iv[2] * odts)
@@ -940,9 +823,8 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     xrc = jnp.maximum(c.R1, (qc1d + qcten * dt) * rho)
     xnc = jnp.maximum(2.0, (nc1d + ncten * dt) * rho)
     nu_c = jnp.minimum(15, fnint(1000.0e6 / xnc) + 2).astype(jnp.int32)
-    cf = _rows(nuc_coef, nu_c)
-    ccg1_n, ccg2_n, ocg1_n, ocg2_n, cce2_n = (
-        cf[..., 0], cf[..., 1], cf[..., 3], cf[..., 4], cf[..., 5])
+    ccg1_n, ccg2_n, _u3, ocg1_n, ocg2_n, cce2_n = _rows_const(
+        _NUC_COEF, nu_c, dtype)
     lamc = powc(xnc * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
     xdc = (c.BM_R + nu_c.astype(dtype) + 1.0) / lamc
     lamc_lo = cce2_n / c.D0C
@@ -1032,6 +914,265 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     else:
         nwfaten = z
         nifaten = z + 0.0
+
+
+    out = dict(tten=tten, qvten=qvten, qcten=qcten, ncten=ncten,
+               qiten=qiten, niten=niten, qrten=qrten, nrten=nrten,
+               qsten=qsten, qgten=qgten, nwfaten=nwfaten, nifaten=nifaten,
+               vts_boost=vts_boost, mvd_r_new=mvd_r, prr_gml=prr_gml)
+    if want_rates:
+        loc = locals()
+        for k in P8_RATES:
+            out[k] = loc[k]
+    return out
+
+
+@partial(jax.jit, static_argnames=("cfg", "dt", "want_rates"))
+def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
+                        tables: DeviceTables, cfg: MicroConfig,
+                        want_rates: bool = True):
+    """One microphysics timestep on one column.
+
+    Args:
+      state: ColumnState of (nz,) arrays (bottom = index 0 = kts).
+      pres:  pressure [Pa], (nz,).
+      w1d:   vertical velocity [m/s] (only used by aerosol activation).
+      dzq:   layer thickness [m], (nz,).
+      dt:    timestep [s] (scalar).
+      tables: device lookup tables.
+      cfg:   static MicroConfig.
+
+    Returns:
+      (new ColumnState, Precip, diagnostics dict of process-rate profiles).
+
+    Physics per mp_thompson (module_mp_thompson09n.f90:1156-3688); phase
+    numbers refer to SURVEY.md §3.2b.
+    """
+    nz = state.qv.shape[-1]
+    dtype = state.qv.dtype
+    one = jnp.asarray(1.0, dtype)
+    dt_f = float(dt)        # static: bench/driver pass per-case floats
+    dt = jnp.asarray(dt_f, dtype)
+    odt = one / dt
+    odts = odt          # dtsave == dt (f90:1277-1279)
+    nt_c = cfg.nt_c
+    ifdry = float(1 - cfg.ifdry)
+    z = jnp.zeros_like(state.qv)
+
+    t1d, qv1d = state.t, state.qv
+    qc1d, qi1d, qr1d = state.qc, state.qi, state.qr
+    qs1d, qg1d = state.qs, state.qg
+    ni1d, nr1d, nc1d = state.ni, state.nr, state.nc
+    nwfa1d, nifa1d = state.nwfa, state.nifa
+
+    # ---- phase 2: load column, presence flags, PSD sanity clamps ----------
+    # (f90:1387-1493)
+    temp = t1d
+    qv = jnp.maximum(1.0e-10, qv1d)
+    rho = 0.622 * pres / (c.R_GAS * temp * (qv + 0.622))
+    orho0 = 1.0 / rho
+    nwfa = jnp.clip(nwfa1d * rho, 11.1e6, 9999.0e6)
+    nifa = jnp.clip(nifa1d * rho, c.NA_IN1 * 0.01, 9999.0e6)
+
+    # cloud water (f90:1395-1418)
+    l_qc = qc1d > c.R1
+    qc1d = jnp.where(l_qc, qc1d, 0.0)
+    nc1d = jnp.where(l_qc, nc1d, 0.0)
+    rc = jnp.where(l_qc, qc1d * rho, c.R1)
+    nuc_coef = jnp.asarray(_NUC_COEF, dtype)
+    nc_raw = jnp.maximum(2.0, nc1d * rho)
+    nu_c = jnp.minimum(15, fnint(1000.0e6 / nc_raw) + 2).astype(jnp.int32)
+    cf = _rows(nuc_coef, nu_c)
+    ccg1_n, ccg2_n, ocg1_n, ocg2_n, cce2_n = (
+        cf[..., 0], cf[..., 1], cf[..., 3], cf[..., 4], cf[..., 5])
+    lamc = powc(nc_raw * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
+    xdc = (c.BM_R + nu_c.astype(dtype) + 1.0) / lamc
+    lamc = jnp.where(xdc < c.D0C, cce2_n / c.D0C,
+                     jnp.where(xdc > c.D0R * 2.0, cce2_n / (c.D0R * 2.0),
+                               lamc))
+    nc_cl = jnp.minimum(c.NT_C_MAX,
+                        ccg1_n * ocg2_n * rc / c.AM_R
+                        * powc(lamc, c.BM_R))
+    if not cfg.is_aerosol_aware:
+        nc_cl = jnp.full_like(nc_cl, nt_c)        # f90:1410
+    nc = jnp.where(l_qc, nc_cl, 2.0)
+
+    # cloud ice (f90:1420-1445)
+    l_qi = qi1d > c.R1
+    qi1d = jnp.where(l_qi, qi1d, 0.0)
+    ni1d = jnp.where(l_qi, ni1d, 0.0)
+    ri = jnp.where(l_qi, qi1d * rho, c.R1)
+    ni0 = jnp.maximum(c.R2, ni1d * rho)
+    ni_fix = jnp.minimum(499.0e3, CIG[1] * c.OIG2 * ri / c.AM_I
+                         * powc(CIE[2] / 25.0e-6, c.BM_I))
+    ni1 = jnp.where(ni1d * rho <= c.R2, ni_fix, ni0)
+    lami = powc(c.AM_I * CIG[2] * c.OIG1 * ni1 / ri, c.OBMI)
+    xdi = (c.BM_I + c.MU_I + 1.0) / lami
+    ni2 = jnp.where(
+        xdi < 5.0e-6,
+        jnp.minimum(499.0e3, CIG[1] * c.OIG2 * ri / c.AM_I
+                    * powc(CIE[2] / 5.0e-6, c.BM_I)),
+        jnp.where(xdi > 300.0e-6,
+                  CIG[1] * c.OIG2 * ri / c.AM_I
+                  * powc(CIE[2] / 300.0e-6, c.BM_I),
+                  ni1))
+    ni = jnp.where(l_qi, ni2, c.R2)
+
+    # rain (f90:1447-1474)
+    l_qr = qr1d > c.R1
+    qr1d = jnp.where(l_qr, qr1d, 0.0)
+    nr1d = jnp.where(l_qr, nr1d, 0.0)
+    rr = jnp.where(l_qr, qr1d * rho, c.R1)
+    nr0 = jnp.maximum(c.R2, nr1d * rho)
+
+    nr1 = jnp.where(nr1d * rho <= c.R2, _nr_from_mvd(rr, 1.0e-3), nr0)
+    lamr = powc(c.AM_R * CRG[3] * c.ORG2 * nr1 / rr, c.OBMR)
+    mvd0 = (3.0 + c.MU_R + 0.672) / lamr
+    nr2 = jnp.where(mvd0 > 2.5e-3, _nr_from_mvd(rr, 2.5e-3),
+                    jnp.where(mvd0 < c.D0R * 0.75,
+                              _nr_from_mvd(rr, c.D0R * 0.75), nr1))
+    nr = jnp.where(l_qr, nr2, c.R2)
+    mvd_r = jnp.where(l_qr, jnp.clip(mvd0, c.D0R * 0.75, 2.5e-3), c.D0C)
+
+    # snow / graupel (f90:1475-1492)
+    l_qs = qs1d > c.R1
+    qs1d = jnp.where(l_qs, qs1d, 0.0)
+    rs = jnp.where(l_qs, qs1d * rho, c.R1)
+    l_qg = qg1d > c.R1
+    qg1d = jnp.where(l_qg, qg1d, 0.0)
+    rg = jnp.where(l_qg, qg1d * rho, c.R1)
+
+    # ---- phase 3: thermodynamics (f90:1503-1533) --------------------------
+    tempc = temp - 273.15
+    rhof = jnp.sqrt(c.RHO_NOT / rho)
+    rhof2 = jnp.sqrt(rhof)
+    qvs = rslf(pres, temp)
+    delqvs = jnp.maximum(0.0, rslf(pres, jnp.full_like(temp, 273.15)) - qv)
+    qvsi = jnp.where(tempc <= 0.0, rsif(pres, temp), qvs)
+    satw = qv / qvs
+    sati = qv / qvsi
+    ssatw = satw - 1.0
+    ssati = sati - 1.0
+    ssatw = jnp.where(jnp.abs(ssatw) < c.EPS, 0.0, ssatw)
+    ssati = jnp.where(jnp.abs(ssati) < c.EPS, 0.0, ssati)
+    diffu = 2.11e-5 * powc(temp / 273.15, 1.94) * (101325.0 / pres)
+    visco = jnp.where(tempc >= 0.0,
+                      (1.718 + 0.0049 * tempc) * 1.0e-5,
+                      (1.718 + 0.0049 * tempc - 1.2e-5 * tempc ** 2) * 1.0e-5)
+    ocp = 1.0 / (c.CP * (1.0 + 0.887 * qv))
+    vsc2 = jnp.sqrt(rho / visco)
+    lvap = c.LVAP0 + (2106.0 - 4218.0) * tempc
+    tcond = (5.69 + 0.0168 * tempc) * 1.0e-5 * 418.936
+
+    # ---- phase 5: snow moments (f90:1545-1628) ----------------------------
+    if not cfg.iiwarm:
+        sm = _snow_moments(rs, temp, l_qs,
+                           [("0", 0.0), ("1", 1.0), ("c", CSE[1]),
+                            ("e", CSE[13]), ("f", CSE[16])])
+        smo0, smo1, smob = sm["0"], sm["1"], sm["b"]
+        smoc, smoe, smof = sm["c"], sm["e"], sm["f"]
+    else:
+        smo0 = smo1 = smob = smoc = smoe = smof = z
+
+    # ---- phase 6: graupel PSD with running-min N0 scan (f90:1633-1656) ----
+    if not cfg.iiwarm:
+        ilamg, n0_g = _graupel_psd(rg, temp, l_qr, mvd_r, nz)
+    else:
+        ilamg, n0_g = z + 1.0, z
+
+    # ---- phase 7: rain PSD (f90:1661-1666) --------------------------------
+    ilamr, mvd_r, n0_r = _rain_psd(rr, nr)
+
+    # ---- phases 8-11 prologue: PSD shapes, indices, gathers ---------------
+    # cloud mvd (f90:1688-1694); nu_c/lamc recomputed from current nc
+    nu_c = jnp.minimum(15, fnint(1000.0e6 / nc) + 2).astype(jnp.int32)
+    cf = _rows(nuc_coef, nu_c)
+    ccg1_n, ccg2_n, ccg3_n, ocg1_n, ocg2_n = (
+        cf[..., 0], cf[..., 1], cf[..., 2], cf[..., 3], cf[..., 4])
+    xdc = jnp.maximum(c.D0C * 1.0e6,
+                      powc(rc / (c.AM_R * nc), c.OBMR) * 1.0e6)
+    lamc = powc(nc * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
+    mvd_c = jnp.where(l_qc, (3.0 + nu_c.astype(dtype) + 0.672) / lamc, c.D0C)
+    dc_g = powc(ccg3_n * ocg2_n, c.OBMR) / lamc * 1.0e6
+    idx_rw = log_bin_index(jnp.maximum(mvd_r, _DR1), _DR1, _DRN, c.NBR)
+    idx_cw = jnp.clip((mvd_c * 1.0e6).astype(jnp.int32), 1, c.NBC) - 1
+    ef_rw = _lookup2d(tables.t_efrw, idx_rw, idx_cw)
+
+    pro = dict(temp=temp, qv=qv, qc1d=qc1d, nc1d=nc1d, qi1d=qi1d,
+               ni1d=ni1d, qr1d=qr1d, nr1d=nr1d, qs1d=qs1d, qg1d=qg1d,
+               rho=rho, rc=rc, nc=nc, ri=ri, ni=ni, rr=rr, nr=nr, rs=rs,
+               rg=rg, rhof=rhof, rhof2=rhof2, qvs=qvs, qvsi=qvsi,
+               delqvs=delqvs, ssatw=ssatw, ssati=ssati, diffu=diffu,
+               visco=visco, vsc2=vsc2, ocp=ocp, lvap=lvap, tcond=tcond,
+               ilamr=ilamr, mvd_r=mvd_r, n0_r=n0_r, mvd_c=mvd_c, xdc=xdc,
+               lamc=lamc, dc_g=dc_g, nu_c_f=nu_c.astype(dtype),
+               ef_rw=ef_rw)
+    if cfg.is_aerosol_aware:
+        pro.update(nwfa=nwfa, nifa=nifa)
+
+    if not cfg.iiwarm:
+        # temperature / species table indices (f90:1753-1881, 2050-2062)
+        idx_tc = jnp.clip(fnint(-tempc).astype(jnp.int32), 1, 45) - 1
+        idx_t0 = ((tempc - 2.5) / 5.0).astype(jnp.int32) - 1
+        idx_t = jnp.clip(jnp.maximum(1, -idx_t0), 1, c.NTB_T) - 1
+        has_r = rr > _RR1
+        has_g = rg > _RG1
+        lam_exp_r = (1.0 / ilamr) * (CRG[3] * c.ORG2 * c.ORG1) ** c.BM_R
+        n0_exp_r = c.ORG1 * rr / c.AM_R * powc(lam_exp_r, CRE[1])
+        lam_exp_g = (1.0 / ilamg) * (CGG[3] * c.OGG2 * c.OGG1) ** c.BM_G
+        n0_exp_g = c.OGG1 * rg / c.AM_G * powc(lam_exp_g, CGE[1])
+
+        # all 8 decade indices in ONE stacked call: the log10/pow chain
+        # runs once over an (8, ...) stack instead of fragmenting into 8
+        # small kernel groups (measured ~2x whole-step win on a v5e).
+        stack = jnp.stack([rc, ri, ni, rr, n0_exp_r, rs, rg, n0_exp_g])
+        shp = (8,) + (1,) * (state.qv.ndim)
+        n2v = jnp.asarray([c.NIC2, c.NII2, c.NII3, c.NIR2, c.NIR3,
+                           c.NIS2, c.NIG2, c.NIG3],
+                          jnp.int32).reshape(shp)
+        ntbv = jnp.asarray([c.NTB_C, c.NTB_I, c.NTB_I1, c.NTB_R,
+                            c.NTB_R1, c.NTB_S, c.NTB_G, c.NTB_G1],
+                           jnp.int32).reshape(shp)
+        idx8 = decade_index(stack, n2v, ntbv)
+        idx_c = jnp.where(rc > _RC1, idx8[0], 0)
+        idx_i = jnp.where(ri > _RI1, idx8[1], 0)
+        idx_i1 = jnp.where(ni > _NTI1, idx8[2], 0)
+        idx_r = jnp.where(has_r, idx8[3], 0)
+        idx_r1 = jnp.where(has_r, idx8[4], c.NTB_R1 - 1)
+        idx_s = jnp.where(rs > _RS1, idx8[5], 0)
+        idx_g = jnp.where(has_g, idx8[6], 0)
+        idx_g1 = jnp.where(has_g, idx8[7], c.NTB_G1 - 1)
+
+        xds = jnp.where(l_qs, smoc / jnp.maximum(smob, 1e-30), 0.0)
+        idx_sw = log_bin_index(jnp.maximum(xds, _DS1), _DS1, _DSN, c.NBS)
+        ef_sw = _lookup2d(tables.t_efsw, idx_sw, idx_cw)
+        lin_s = ((idx_s * c.NTB_T + idx_t) * c.NTB_R1 + idx_r1) * c.NTB_R \
+            + idx_r
+        rv = tables.racs[:, lin_s]
+        lin_g = ((idx_g1 * c.NTB_G + idx_g) * c.NTB_R1 + idx_r1) * c.NTB_R \
+            + idx_r
+        gv = tables.racg[:, lin_g]
+        fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]
+        cv = tables.qcfz[:, idx_c * 45 + idx_tc]
+        iv = tables.iaus[:, idx_i * c.NTB_I1 + idx_i1]
+
+        pro.update(smo0=smo0, smo1=smo1, smob=smob, smoc=smoc, smoe=smoe,
+                   smof=smof, ilamg=ilamg, n0_g=n0_g, xds=xds, ef_sw=ef_sw,
+                   idx_i_top_f=(idx_i == c.NTB_I - 1).astype(dtype),
+                   rv=rv, gv=gv, fv=fv, cv=cv, iv=iv)
+
+    # ---- phases 8-11: rates + clamps + tendency assembly ------------------
+    # (f90:1676-2569) as the extracted pure block — inline jnp here; the
+    # TPU path runs the SAME function inside one fused Pallas kernel
+    # (pallas_step.rates_pallas)
+    if _use_pallas(state.qv.ndim):
+        from .pallas_step import rates_pallas
+        p8 = rates_pallas(pro, cfg, dt_f, want_rates)
+    else:
+        p8 = rates_and_tendencies(pro, cfg, dt_f, want_rates)
+    (tten, qvten, qcten, ncten, qiten, niten, qrten, nrten, qsten, qgten,
+     nwfaten, nifaten, vts_boost, mvd_r, prr_gml) = [
+        p8[k] for k in P8_OUT]
 
     # ---- phase 12: provisional state at t+dt (f90:2574-2656) --------------
     temp = t1d + dt * tten
@@ -1438,26 +1579,22 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                     ice=pptice)
 
     # process-rate diagnostics, the save_dg registry of f90:2963-3124
-    diag = {
-        "prr_wau": prr_wau, "prr_rcw": prr_rcw, "prv_rev": prv_rev,
-        "pnr_wau": pnr_wau, "pnr_rev": pnr_rev, "pnr_rcr": pnr_rcr,
-        "pri_inu": pri_inu, "pri_ide": pri_ide, "prs_ide": prs_ide,
-        "prs_sde": prs_sde, "prg_gde": prg_gde, "pri_wfz": pri_wfz,
-        "prs_scw": prs_scw, "prg_scw": prg_scw, "prg_gcw": prg_gcw,
-        "pri_ihm": pri_ihm, "pri_rfz": pri_rfz, "prs_iau": prs_iau,
-        "prs_sci": prs_sci, "pri_rci": pri_rci, "pni_inu": pni_inu,
-        "pni_ihm": pni_ihm, "pni_wfz": pni_wfz, "pni_rfz": pni_rfz,
-        "pni_ide": pni_ide, "pni_iau": pni_iau, "pni_sci": pni_sci,
-        "pni_rci": pni_rci, "prr_sml": prr_sml, "prr_gml": prr_gml,
-        "pnr_rcs": pnr_rcs, "pnr_rcg": pnr_rcg, "pnr_rci": pnr_rci,
-        "pnr_sml": pnr_sml, "pnr_gml": pnr_gml, "pnr_rfz": pnr_rfz,
-    }
+    # (phase 8-11 rates come from the extracted block; phase-15 rain
+    # evaporation rates are computed in this function)
+    if want_rates:
+        diag = {k: p8[k] for k in P8_RATES}
+        diag["prr_gml"] = prr_gml
+        diag["prv_rev"] = prv_rev
+        diag["pnr_rev"] = pnr_rev
+    else:
+        diag = {}
     return new_state, precip, diag
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "dt", "want_rates"))
 def batched_microphysics(state: ColumnState, pres, w, dzq, dt,
-                         tables: DeviceTables, cfg: MicroConfig):
+                         tables: DeviceTables, cfg: MicroConfig,
+                         want_rates: bool = True):
     """Batched columns: the TPU-native replacement for the reference's
     serial ``do i=1,nx`` column loop (mphys_thompson09n.f90:54).
 
@@ -1466,10 +1603,11 @@ def batched_microphysics(state: ColumnState, pres, w, dzq, dt,
     flat XLA program with no vmap-induced serial scans.  The per-column CFL
     substep counts are preserved exactly (batch-max trip count with
     per-column masking)."""
-    return column_microphysics(state, pres, w, dzq, dt, tables, cfg)
+    return column_microphysics(state, pres, w, dzq, dt, tables, cfg,
+                               want_rates)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "dt"))
 def vmapped_microphysics(state: ColumnState, pres, w, dzq, dt,
                          tables: DeviceTables, cfg: MicroConfig):
     """vmap formulation of the same computation; kept as a semantics

@@ -18,10 +18,12 @@ import json
 import os
 import time
 
-# fp64 oracle comparison is a CPU job; never let it grab the TPU tunnel
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
 
-import jax  # noqa: E402
+# fp64 oracle comparison is a CPU job; never let it grab the TPU tunnel.
+# NOTE: this image's sitecustomize imports jax at interpreter start, so the
+# JAX_PLATFORMS env var is already consumed — use jax.config instead.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir",
