@@ -17,8 +17,7 @@ measured, and what this script reports:
    devices multiplex one host), with NO superlinear blowup from
    collectives.
 
-Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-     python bench_scaling.py
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 python bench_scaling.py
 """
 from __future__ import annotations
 
@@ -29,6 +28,9 @@ import time
 
 def main():
     import jax
+    # virtual 8-device CPU mesh (sitecustomize consumed JAX_PLATFORMS, so
+    # force via config); real-TPU single-chip throughput comes from bench.py
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from kid_tpu.dist.mesh import make_mesh, simulate_sharded

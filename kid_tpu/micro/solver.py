@@ -48,10 +48,12 @@ CIG = tuple(float(x) for x in c.CIG)
 
 
 # Stacking orders for the device-side table families.  Tables consumed with
-# the SAME index tuple are interleaved along a trailing axis so one TPU
-# gather fetches the whole family as a contiguous row: measured ~12x faster
-# than per-table gathers (XLA lowers scattered TPU gathers to ~13 cycles per
-# lookup, so gather count — not bytes — is what matters).
+# the SAME index tuple share ONE gather op per family instead of one per
+# table (gather cost on a v5e is ~10 cycles per INDEX and nearly
+# independent of fetch width: prof/prof_gather4.py at HEAD measures 11
+# separate 1M-index gathers at 130 ms vs one 11-wide family gather at
+# 9-11 ms standalone; in-step the 5 family gathers cost ~13 ms of the
+# 27 ms mixed-phase step — prof/prof_ablate.py no_gather).
 _RACS = ("tcs_racs1", "tcs_racs2", "tmr_racs1", "tmr_racs2", "tcr_sacr1",
          "tcr_sacr2", "tms_sacr1", "tnr_racs1", "tnr_racs2", "tnr_sacr1",
          "tnr_sacr2")                     # index (idx_s, idx_t, idx_r1, idx_r)
@@ -69,10 +71,10 @@ class DeviceTables(NamedTuple):
 
     Each family is a flat 2-D (n_tables, cells) FAMILY-MAJOR matrix
     gathered along axis 1 with a linear cell index computed in the solver.
-    (Round-1 used (cells, n_tables) row gathers; the family-major form
-    gathers each table as a contiguous 1-D stream and measured ~5x faster
-    in the full step on a v5e — the 5 family gathers were 55% of the
-    round-1 step time.)"""
+    (Verified at HEAD, prof/prof_gather4.py: family-major 9.1 ms vs
+    row-major (cells, n_tables) 10.1 ms for one 1M-index 11-wide gather —
+    a real but small edge; the dominant effect is one gather op per
+    family rather than per table.)"""
 
     racs: jax.Array    # (11, ntb_s*ntb_t*ntb_r1*ntb_r), order _RACS
     racg: jax.Array    # (5, ntb_g1*ntb_g*ntb_r1*ntb_r), order _RACG
@@ -125,7 +127,9 @@ def _rows(mat, idx):
 
 def _lookup2d(tab, i0, i1):
     """Exact ``tab[i0, i1]`` for small 2-D tables via two one-hot
-    contractions (measured ~9x faster than the scattered 2-D gather)."""
+    contractions (the 100x100 tables are small enough that the one-hot
+    matmuls ride the MXU instead of paying the ~10-cycle-per-index
+    scattered-gather path)."""
     b = _rows(tab, i0)
     oh1 = jax.nn.one_hot(i1, tab.shape[1], dtype=tab.dtype)
     return jnp.sum(b * oh1, axis=-1)
@@ -1122,9 +1126,12 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         lam_exp_g = (1.0 / ilamg) * (CGG[3] * c.OGG2 * c.OGG1) ** c.BM_G
         n0_exp_g = c.OGG1 * rg / c.AM_G * powc(lam_exp_g, CGE[1])
 
-        # all 8 decade indices in ONE stacked call: the log10/pow chain
+        # all 8 decade indices in ONE stacked call so the log10/pow chain
         # runs once over an (8, ...) stack instead of fragmenting into 8
-        # small kernel groups (measured ~2x whole-step win on a v5e).
+        # small kernel groups.  (A round-2 comment claimed a ~2x whole-step
+        # win; re-measured at HEAD the step is critical-path bound and
+        # phase ablations move it little — see prof/README.md — but the
+        # stacked form is kept as the cleaner formulation.)
         stack = jnp.stack([rc, ri, ni, rr, n0_exp_r, rs, rg, n0_exp_g])
         shp = (8,) + (1,) * (state.qv.ndim)
         n2v = jnp.asarray([c.NIC2, c.NII2, c.NII3, c.NIR2, c.NIR3,
