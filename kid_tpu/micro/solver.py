@@ -305,6 +305,20 @@ def _nr_from_mvd(rr_, mvd):
     return CRG[2] * c.ORG3 * rr_ * powc(lam, c.BM_R) / c.AM_R
 
 
+def _lookup2d_family(fam, n0, n1, i0, i1, dtype):
+    """Exact ``fam[:, i0*n1 + i1]`` for a stacked family ``fam`` of shape
+    (k, n0*n1) via two one-hot contractions: a row fetch on the MXU plus a
+    lane-select sum.  Bitwise-identical to the gather (one-hot rows are
+    exactly one 1.0), ~5x cheaper per index than the scattered-gather path
+    for these small tables (prof/README.md gather cost model)."""
+    k = fam.shape[0]
+    rows = fam.reshape(k, n0, n1).transpose(1, 2, 0).reshape(n0, n1 * k)
+    b = _rows(rows, i0).reshape(i0.shape + (n1, k))
+    oh1 = jax.nn.one_hot(i1, n1, dtype=dtype)
+    out = jnp.sum(b * oh1[..., None], axis=-2)          # (..., k)
+    return jnp.moveaxis(out, -1, 0)                     # (k, ...)
+
+
 def _rows_const(mat, idx, dtype):
     """Exact ``mat[idx]`` row lookup for a small HOST (numpy) matrix via an
     unrolled select chain — gather- and dot-free, so it lowers cleanly
@@ -333,7 +347,10 @@ P8_BASE = ("temp", "qv", "qc1d", "nc1d", "qi1d", "ni1d", "qr1d", "nr1d",
            "ilamr", "mvd_r", "n0_r", "mvd_c", "xdc", "lamc", "dc_g",
            "nu_c_f", "ef_rw")
 P8_ICE = ("smo0", "smo1", "smob", "smoc", "smoe", "smof", "ilamg", "n0_g",
-          "xds", "ef_sw", "idx_i_top_f", "rv", "gv", "fv", "cv", "iv")
+          "xds", "ef_sw", "ilami", "xdi", "oxmi", "tide",
+          "prr_rcs", "prs_rcs", "prg_rcs", "pnr_rcs", "prg_rcg",
+          "prr_rcg", "pnr_rcg", "prg_rfz", "pri_rfz", "pni_rfz",
+          "pnr_rfz", "pri_wfz", "pni_wfz", "prs_iau", "pni_iau")
 P8_AERO = ("nwfa", "nifa")
 P8_OUT = ("tten", "qvten", "qcten", "ncten", "qiten", "niten", "qrten",
           "nrten", "qsten", "qgten", "nwfaten", "nifaten", "vts_boost",
@@ -386,9 +403,21 @@ def rates_and_tendencies(pro, cfg, dt_f, want_rates=True):
         smoc = pro["smoc"]; smoe = pro["smoe"]; smof = pro["smof"]
         ilamg = pro["ilamg"]; n0_g = pro["n0_g"]; xds = pro["xds"]
         ef_sw = pro["ef_sw"]
-        idx_i_top = pro["idx_i_top_f"] > 0.5
-        rv = pro["rv"]; gv = pro["gv"]; fv = pro["fv"]
-        cv = pro["cv"]; iv = pro["iv"]
+        # rates whose table-family gathers (and short arithmetic) stay in
+        # the XLA prologue so the gathers keep their consumer fusions
+        prr_rcs = pro["prr_rcs"]; prs_rcs = pro["prs_rcs"]
+        prg_rcs = pro["prg_rcs"]; pnr_rcs = pro["pnr_rcs"]
+        prg_rcg = pro["prg_rcg"]; prr_rcg = pro["prr_rcg"]
+        pnr_rcg = pro["pnr_rcg"]
+        prg_rfz = pro["prg_rfz"]; pri_rfz = pro["pri_rfz"]
+        pni_rfz = pro["pni_rfz"]; pnr_rfz = pro["pnr_rfz"]
+        pri_wfz = pro["pri_wfz"]; pni_wfz = pro["pni_wfz"]
+        prs_iau = pro["prs_iau"]; pni_iau = pro["pni_iau"]
+    else:
+        prr_rcs = prs_rcs = prg_rcs = pnr_rcs = z
+        prg_rcg = prr_rcg = pnr_rcg = z
+        prg_rfz = pri_rfz = pni_rfz = pnr_rfz = z
+        pri_wfz = pni_wfz = prs_iau = pni_iau = z
     if cfg.is_aerosol_aware:
         nwfa = pro["nwfa"]; nifa = pro["nifa"]
 
@@ -439,15 +468,13 @@ def rates_and_tendencies(pro, cfg, dt_f, want_rates=True):
     # ---- phase 9: ice-phase process rates (f90:1749-2286) -----------------
     pnc_scw = z; pnc_gcw = z
     pri_inu = z; pni_inu = z; pri_ihm = z; pni_ihm = z
-    pri_wfz = z; pni_wfz = z; pri_rfz = z; pni_rfz = z; pnr_rfz = z
     pri_ide = z; pni_ide = z; prs_ide = z
     pri_rci = z; pni_rci = z; prr_rci = z; pnr_rci = z; prg_rci = z
-    pni_sci = z; prs_sci = z; pni_iau = z; prs_iau = z
+    pni_sci = z; prs_sci = z
     pri_iha = z; pni_iha = z
-    prs_sde = z; prs_scw = z; prs_ihm = z; prs_rcs = z
-    prr_rcs = z; pnr_rcs = z; prr_rcg = z; pnr_rcg = z
-    prg_scw = z; prg_rfz = z; prg_gde = z; prg_gcw = z
-    prg_rcs = z; prg_rcg = z; prg_ihm = z
+    prs_sde = z; prs_scw = z; prs_ihm = z
+    prg_scw = z; prg_gde = z; prg_gcw = z
+    prg_ihm = z
     prr_sml = z; pnr_sml = z; prr_gml = z; pnr_gml = z
     vts_boost = jnp.full_like(qv, 1.5)
 
@@ -509,76 +536,10 @@ def rates_and_tendencies(pro, cfg, dt_f, want_rates=True):
                 nifa * odts,
                 rhof * c.T1_QG_QC * ef_gd * nifa * n0_g * geo_g), 0.0)
 
-        # rain<->snow collection via the stacked 11-table family
-        # (f90:1961-1997): ONE row gather per level instead of 11 scattered
-        # gathers (order _RACS)
-        (t_racs1, t_racs2, m_racs1, m_racs2, t_sacr1, t_sacr2, ms_sacr1,
-         n_racs1, n_racs2, n_sacr1, n_sacr2) = [
-            rv[j] for j in range(11)]
-        rs_on = (rr >= _RR1) & (rs >= _RS1)
-        # cold branch (T < T_0): f90:1966-1985
-        prr_rcs_c = jnp.maximum(-rr * odts,
-                                -(m_racs2 + t_sacr2 + m_racs1 + t_sacr1))
-        prs_rcs_c = jnp.maximum(-rs * odts,
-                                m_racs2 + t_sacr2 - t_racs1 - ms_sacr1)
-        prg_rcs_c = jnp.minimum((rr + rs) * odts,
-                                m_racs1 + t_sacr1 + t_racs1 + ms_sacr1)
-        pnr_rcs_c = n_racs1 + n_racs2 + n_sacr1 + n_sacr2
-        # warm branch (T >= T_0): f90:1986-1995
-        prs_rcs_w = jnp.maximum(-rs * odts,
-                                -t_racs1 - ms_sacr1 + m_racs2 + t_sacr2)
-        prr_rcs_w = -prs_rcs_w
-        pnr_rcs_w = n_racs2 + n_sacr2
-        prr_rcs = jnp.where(rs_on, jnp.where(t_lt_0, prr_rcs_c, prr_rcs_w),
-                            0.0)
-        prs_rcs = jnp.where(rs_on, jnp.where(t_lt_0, prs_rcs_c, prs_rcs_w),
-                            0.0)
-        prg_rcs = jnp.where(rs_on & t_lt_0, prg_rcs_c, 0.0)
-        pnr_rcs = jnp.where(
-            rs_on, jnp.minimum(nr * odts,
-                               jnp.where(t_lt_0, pnr_rcs_c, pnr_rcs_w)), 0.0)
 
-        # rain<->graupel collection via the stacked 5-table family
-        # (f90:1999-2018), order _RACG
-        rg_on = (rr >= _RR1) & (rg >= _RG1)
-        prg_rcg_c = jnp.minimum(rr * odts, gv[0] + gv[1])
-        pnr_rcg_c = jnp.minimum(nr * odts, gv[2] + gv[3])
-        prr_rcg_w = jnp.minimum(rg * odts, gv[4])
-        pnr_rcg_w = -5.0 * gv[3]                 # explicit break-up f90:2016
-        prg_rcg = jnp.where(rg_on, jnp.where(t_lt_0, prg_rcg_c, -prr_rcg_w),
-                            0.0)
-        prr_rcg = jnp.where(rg_on, jnp.where(t_lt_0, -prg_rcg_c, prr_rcg_w),
-                            0.0)
-        pnr_rcg = jnp.where(rg_on, jnp.where(t_lt_0, pnr_rcg_c, pnr_rcg_w),
-                            0.0)
 
         # ---------- processes only below 0C (f90:2025-2231) ----------------
         rate_max_i = (qv - qvsi) * rho * odts * 0.999   # f90:2028
-
-        # rain freezing, Bigg 1953 via the stacked 4-table family
-        # (f90:2065-2076), order _QRFZ
-        frz_tab = t_lt_0 & (rr > _RR1)
-        frz_hom = t_lt_0 & ~(rr > _RR1) & (rr > c.R1) & (temp < c.HGFR)
-        prg_rfz = jnp.where(frz_tab, fv[0] * odts, 0.0)
-        pri_rfz = jnp.where(frz_tab, fv[1] * odts,
-                            jnp.where(frz_hom, rr * odts, 0.0))
-        pni_rfz = jnp.where(frz_tab, fv[2] * odts,
-                            jnp.where(frz_hom, nr * odts, 0.0))
-        pnr_rfz = jnp.where(frz_tab,
-                            jnp.minimum(nr * odts, fv[3] * odts),
-                            jnp.where(frz_hom, nr * odts, 0.0))
-
-        # cloud water freezing via the stacked pair (f90:2077-2086), _QCFZ
-        wfz_tab = t_lt_0 & (rc > _RC1)
-        wfz_hom = t_lt_0 & ~(rc > _RC1) & (rc > c.R1) & (temp < c.HGFR)
-        pri_wfz = jnp.where(
-            wfz_tab, jnp.minimum(rc * odts, cv[0] * odts),
-            jnp.where(wfz_hom, rc * odts, 0.0))
-        pni_wfz = jnp.where(
-            wfz_tab,
-            jnp.minimum(jnp.minimum(nt_c * odts, pri_wfz / (2.0 * c.XM0I)),
-                        cv[1] * odts),
-            jnp.where(wfz_hom, nc * odts, 0.0))
 
         # deposition-condensation ice nucleation: DeMott (2010) when
         # dusty+aerosol-aware, else the Cooper curve (f90:2088-2101)
@@ -610,18 +571,15 @@ def rates_and_tendencies(pro, cfg, dt_f, want_rates=True):
             pni_iha = jnp.where(iha_on, pri_iha / (c.XM0I * 0.1), 0.0)
 
         # cloud-ice deposition/sublimation (f90:2115-2133)
-        lami = powc(c.AM_I * CIG[2] * c.OIG1 * ni / ri, c.OBMI)
-        ilami = 1.0 / lami
-        xdi = jnp.maximum(c.D0I, (c.BM_I + c.MU_I + 1.0) * ilami)
-        xmi = c.AM_I * powc(xdi, c.BM_I)
-        oxmi = 1.0 / xmi
+        ilami = pro["ilami"]
+        xdi = pro["xdi"]
+        oxmi = pro["oxmi"]
         ide0 = (c.C_CUBE * t1_subl * diffu * ssati * rvs_i
                 * c.OIG1 * CIG[5] * ni * ilami)
         ide_neg = jnp.maximum(jnp.maximum(-ri * odts, ide0), rate_max_i)
         pni_ide_neg = jnp.maximum(-ni * odts, ide_neg * oxmi)
         ide_pos = jnp.minimum(ide0, rate_max_i)
-        # stacked (tpi_ide, tps_iaus, tni_iaus) family, order _IAUS
-        tide = iv[0]
+        tide = pro["tide"]
         ice_on = t_lt_0 & l_qi
         pri_ide = jnp.where(ice_on,
                             jnp.where(ide0 < 0.0, ide_neg, tide * ide_pos),
@@ -629,20 +587,6 @@ def rates_and_tendencies(pro, cfg, dt_f, want_rates=True):
         pni_ide = jnp.where(ice_on & (ide0 < 0.0), pni_ide_neg, 0.0)
         prs_ide = jnp.where(ice_on & (ide0 >= 0.0),
                             (1.0 - tide) * ide_pos, 0.0)
-
-        # ice -> snow autoconversion (f90:2135-2148)
-        iau_big = idx_i_top | (xdi > 5.0 * c.D0S)
-        iau_small = xdi < 0.1 * c.D0S
-        prs_iau_t = jnp.minimum(ri * 0.99 * odts, iv[1] * odts)
-        pni_iau_t = jnp.minimum(ni * 0.95 * odts, iv[2] * odts)
-        prs_iau = jnp.where(ice_on,
-                            jnp.where(iau_big, ri * 0.99 * odts,
-                                      jnp.where(iau_small, 0.0, prs_iau_t)),
-                            0.0)
-        pni_iau = jnp.where(ice_on,
-                            jnp.where(iau_big, ni * 0.95 * odts,
-                                      jnp.where(iau_small, 0.0, pni_iau_t)),
-                            0.0)
 
         # snow deposition/sublimation (f90:2151-2164)
         c_snow = jnp.clip(c.C_SQRD + (tempc + 1.5) * (c.C_CUBE - c.C_SQRD)
@@ -1160,13 +1104,119 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
             + idx_r
         gv = tables.racg[:, lin_g]
         fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]
-        cv = tables.qcfz[:, idx_c * 45 + idx_tc]
-        iv = tables.iaus[:, idx_i * c.NTB_I1 + idx_i1]
+        # qcfz/iaus are small enough (37x45, 64x55) for EXACT one-hot MXU
+        # lookups (same trick as _lookup2d) instead of paying the
+        # ~10-cycles-per-index scattered-gather path twice more
+        cv = _lookup2d_family(tables.qcfz, c.NTB_C, 45, idx_c, idx_tc,
+                              dtype)
+        iv = _lookup2d_family(tables.iaus, c.NTB_I, c.NTB_I1, idx_i,
+                              idx_i1, dtype)
 
+        # gather-consuming rates evaluated HERE so each family gather
+        # keeps an XLA consumer fusion (f90:1961-2018, 2065-2148); the
+        # fused Pallas kernel then receives the finished rate channels
+        t_lt_0 = temp < c.T_0
+        ice_on = t_lt_0 & l_qi
+        idx_i_top = idx_i == c.NTB_I - 1
+        # rain<->snow collection via the stacked 11-table family
+        # (f90:1961-1997): ONE row gather per level instead of 11 scattered
+        # gathers (order _RACS)
+        (t_racs1, t_racs2, m_racs1, m_racs2, t_sacr1, t_sacr2, ms_sacr1,
+         n_racs1, n_racs2, n_sacr1, n_sacr2) = [
+            rv[j] for j in range(11)]
+        rs_on = (rr >= _RR1) & (rs >= _RS1)
+        # cold branch (T < T_0): f90:1966-1985
+        prr_rcs_c = jnp.maximum(-rr * odts,
+                                -(m_racs2 + t_sacr2 + m_racs1 + t_sacr1))
+        prs_rcs_c = jnp.maximum(-rs * odts,
+                                m_racs2 + t_sacr2 - t_racs1 - ms_sacr1)
+        prg_rcs_c = jnp.minimum((rr + rs) * odts,
+                                m_racs1 + t_sacr1 + t_racs1 + ms_sacr1)
+        pnr_rcs_c = n_racs1 + n_racs2 + n_sacr1 + n_sacr2
+        # warm branch (T >= T_0): f90:1986-1995
+        prs_rcs_w = jnp.maximum(-rs * odts,
+                                -t_racs1 - ms_sacr1 + m_racs2 + t_sacr2)
+        prr_rcs_w = -prs_rcs_w
+        pnr_rcs_w = n_racs2 + n_sacr2
+        prr_rcs = jnp.where(rs_on, jnp.where(t_lt_0, prr_rcs_c, prr_rcs_w),
+                            0.0)
+        prs_rcs = jnp.where(rs_on, jnp.where(t_lt_0, prs_rcs_c, prs_rcs_w),
+                            0.0)
+        prg_rcs = jnp.where(rs_on & t_lt_0, prg_rcs_c, 0.0)
+        pnr_rcs = jnp.where(
+            rs_on, jnp.minimum(nr * odts,
+                               jnp.where(t_lt_0, pnr_rcs_c, pnr_rcs_w)), 0.0)
+
+        # rain<->graupel collection via the stacked 5-table family
+        # (f90:1999-2018), order _RACG
+        rg_on = (rr >= _RR1) & (rg >= _RG1)
+        prg_rcg_c = jnp.minimum(rr * odts, gv[0] + gv[1])
+        pnr_rcg_c = jnp.minimum(nr * odts, gv[2] + gv[3])
+        prr_rcg_w = jnp.minimum(rg * odts, gv[4])
+        pnr_rcg_w = -5.0 * gv[3]                 # explicit break-up f90:2016
+        prg_rcg = jnp.where(rg_on, jnp.where(t_lt_0, prg_rcg_c, -prr_rcg_w),
+                            0.0)
+        prr_rcg = jnp.where(rg_on, jnp.where(t_lt_0, -prg_rcg_c, prr_rcg_w),
+                            0.0)
+        pnr_rcg = jnp.where(rg_on, jnp.where(t_lt_0, pnr_rcg_c, pnr_rcg_w),
+                            0.0)
+
+        # rain freezing, Bigg 1953 via the stacked 4-table family
+        # (f90:2065-2076), order _QRFZ
+        frz_tab = t_lt_0 & (rr > _RR1)
+        frz_hom = t_lt_0 & ~(rr > _RR1) & (rr > c.R1) & (temp < c.HGFR)
+        prg_rfz = jnp.where(frz_tab, fv[0] * odts, 0.0)
+        pri_rfz = jnp.where(frz_tab, fv[1] * odts,
+                            jnp.where(frz_hom, rr * odts, 0.0))
+        pni_rfz = jnp.where(frz_tab, fv[2] * odts,
+                            jnp.where(frz_hom, nr * odts, 0.0))
+        pnr_rfz = jnp.where(frz_tab,
+                            jnp.minimum(nr * odts, fv[3] * odts),
+                            jnp.where(frz_hom, nr * odts, 0.0))
+
+
+        # cloud water freezing via the stacked pair (f90:2077-2086), _QCFZ
+        wfz_tab = t_lt_0 & (rc > _RC1)
+        wfz_hom = t_lt_0 & ~(rc > _RC1) & (rc > c.R1) & (temp < c.HGFR)
+        pri_wfz = jnp.where(
+            wfz_tab, jnp.minimum(rc * odts, cv[0] * odts),
+            jnp.where(wfz_hom, rc * odts, 0.0))
+        pni_wfz = jnp.where(
+            wfz_tab,
+            jnp.minimum(jnp.minimum(nt_c * odts, pri_wfz / (2.0 * c.XM0I)),
+                        cv[1] * odts),
+            jnp.where(wfz_hom, nc * odts, 0.0))
+
+        lami = powc(c.AM_I * CIG[2] * c.OIG1 * ni / ri, c.OBMI)
+        ilami = 1.0 / lami
+        xdi = jnp.maximum(c.D0I, (c.BM_I + c.MU_I + 1.0) * ilami)
+        xmi = c.AM_I * powc(xdi, c.BM_I)
+        oxmi = 1.0 / xmi
+
+        # ice -> snow autoconversion (f90:2135-2148)
+        iau_big = idx_i_top | (xdi > 5.0 * c.D0S)
+        iau_small = xdi < 0.1 * c.D0S
+        prs_iau_t = jnp.minimum(ri * 0.99 * odts, iv[1] * odts)
+        pni_iau_t = jnp.minimum(ni * 0.95 * odts, iv[2] * odts)
+        prs_iau = jnp.where(ice_on,
+                            jnp.where(iau_big, ri * 0.99 * odts,
+                                      jnp.where(iau_small, 0.0, prs_iau_t)),
+                            0.0)
+        pni_iau = jnp.where(ice_on,
+                            jnp.where(iau_big, ni * 0.95 * odts,
+                                      jnp.where(iau_small, 0.0, pni_iau_t)),
+                            0.0)
+
+
+        tide = iv[0]
         pro.update(smo0=smo0, smo1=smo1, smob=smob, smoc=smoc, smoe=smoe,
                    smof=smof, ilamg=ilamg, n0_g=n0_g, xds=xds, ef_sw=ef_sw,
-                   idx_i_top_f=(idx_i == c.NTB_I - 1).astype(dtype),
-                   rv=rv, gv=gv, fv=fv, cv=cv, iv=iv)
+                   ilami=ilami, xdi=xdi, oxmi=oxmi, tide=tide,
+                   prr_rcs=prr_rcs, prs_rcs=prs_rcs, prg_rcs=prg_rcs,
+                   pnr_rcs=pnr_rcs, prg_rcg=prg_rcg, prr_rcg=prr_rcg,
+                   pnr_rcg=pnr_rcg, prg_rfz=prg_rfz, pri_rfz=pri_rfz,
+                   pni_rfz=pni_rfz, pnr_rfz=pnr_rfz, pri_wfz=pri_wfz,
+                   pni_wfz=pni_wfz, prs_iau=prs_iau, pni_iau=pni_iau)
 
     # ---- phases 8-11: rates + clamps + tendency assembly ------------------
     # (f90:1676-2569) as the extracted pure block — inline jnp here; the
