@@ -132,6 +132,29 @@ DEEP1 = Case(
     qv_init=_qv_exp(0.016, 2200.0),
     w1=8.0, t1=1200.0)
 
+def _qv_sh2012(z):
+    """Shipway & Hill (2012) warm-1 vapor sounding as mirrored by the
+    public KiD ports: piecewise-linear through (0 m, 15 g/kg),
+    (740 m, 13.8 g/kg), (top 3260 m, 2.4 g/kg).  The original paper's
+    tables are not retrievable in this offline environment; constants
+    follow the widely-mirrored setup (e.g. the PySDM Shipway & Hill 2012
+    kinematic-1D example) and are kept as a VARIANT so the validated
+    default warm1 is unchanged."""
+    return np.interp(z, [0.0, 740.0, 3260.0],
+                     [0.015, 0.0138, 0.0024])
+
+
+WARM1_SH2012 = Case(
+    # published-profile variant of warm1: constant potential temperature
+    # 297.9 K, the piecewise-linear qv sounding above, 25 m layers to
+    # 3250 m, w = 2 m/s * sin(pi t / 1200 s) half-sine updraft pulse
+    name="warm1_sh2012", nz=130, nx=1, ztop=3250.0, dt=1.0,
+    t_final=3600.0,
+    micro=MicroConfig(iiwarm=True),
+    theta_init=_theta_const(297.9),
+    qv_init=_qv_sh2012,
+    w1=2.0, t1=1200.0)
+
 AEROSOL1D = Case(
     # Aerosol-aware twin of mixed1: prognostic nc/nwfa/nifa advected by the
     # driver, CCN activation + DeMott/Koop nucleation active
@@ -160,5 +183,5 @@ OROGRAPHIC2D = Case(
     qv_init=_qv_exp(0.005, 2500.0),
     w1=1.0, t1=120.0, modulation="ramp", dx=250.0, u0=10.0)
 
-CASES = {c.name: c for c in [WARM1, MIXED1, DEEP1, AEROSOL1D, CUMULUS2D,
-                             OROGRAPHIC2D]}
+CASES = {c.name: c for c in [WARM1, WARM1_SH2012, MIXED1, DEEP1, AEROSOL1D,
+                             CUMULUS2D, OROGRAPHIC2D]}
