@@ -223,3 +223,19 @@ def test_l_sediment_switch_gates_ice_not_rain():
     s, ppt, _ = run(st, p, cfg_nosed, TB_MIXED, dt=30.0)
     assert float(ppt.snow) == 0.0          # gated (f90:3506)
     assert float(ppt.rain) > 0.0           # rain never gated (f90:3365)
+
+
+def test_lookup2d_family_bitwise_vs_gather():
+    """The one-hot MXU family lookup must reproduce the scattered gather
+    BITWISE (one-hot rows select exact table values)."""
+    import numpy as np
+    from kid_tpu.micro.solver import _lookup2d_family
+
+    rng = np.random.default_rng(3)
+    n0, n1, k = 37, 45, 2
+    fam = jnp.asarray(rng.standard_normal((k, n0 * n1)), jnp.float32)
+    i0 = jnp.asarray(rng.integers(0, n0, size=(6, 11)), jnp.int32)
+    i1 = jnp.asarray(rng.integers(0, n1, size=(6, 11)), jnp.int32)
+    want = fam[:, i0 * n1 + i1]
+    got = _lookup2d_family(fam, n0, n1, i0, i1, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -78,7 +78,8 @@ def main():
                              and worst_extra <= RTOL_AEROSOL_EXTRAS)
         entry["seconds"] = round(time.time() - t0, 1)
         report[case.name] = entry
-        print(f"{case.name}: worst_field_rel={worst:.3e} "
+        print(f"{case.name}: worst_target_rel={worst_target:.3e} "
+              f"worst_extra_rel={worst_extra:.3e} "
               f"cum_ppt_rel={ppt_rel:.3e} pass={entry['pass']} "
               f"({entry['seconds']}s)", flush=True)
     report["rtol"] = RTOL
