@@ -46,9 +46,12 @@ class KidState(NamedTuple):
     3-D host feeds them per-column in aerosol-aware mode
     (module_mp_thompson09n.f90:950-956) and applies the solver's nwfaten/
     nifaten tendencies (f90:2398-2408).  In the default non-aerosol mode
-    the solver forces nc = Nt_c/rho internally (f90:1410) and leaves
-    nwfa/nifa untouched, so carrying them is exactly the reference
-    behavior there too."""
+    the solver forces nc = Nt_c/rho internally (f90:1410); nwfa still
+    drifts slowly (the solver applies the -pnc_wcd/+pnr_rev bookkeeping
+    unconditionally, solver.py phases 14-15) but nothing consumes nwfa
+    in that mode, so the drift is physically inert — unlike the
+    reference, which re-fills nwfa per step (f90:957-964) only because
+    it does not carry it."""
 
     theta: jnp.ndarray
     qv: jnp.ndarray

@@ -1,97 +1,154 @@
-"""Fused Pallas TPU kernel for the phase 8-11 rates block.
+"""Fused Pallas TPU kernel for the whole microphysics step (phases 2-20).
 
-The solver's hot region (process rates + conservation clamps + tendency
-assembly, f90:1676-2569) is pure elementwise math once the table-family
-gathers are hoisted to the caller (solver.py prologue).  Under XLA that
-region fragments into dozens of fusions whose intermediates round-trip
-through HBM — ablation at HEAD showed the step is bandwidth/critical-path
-bound, not compute bound (removing whole phases does not speed it up).
-This wrapper runs the SAME function, ``solver.rates_and_tendencies``, as
-ONE ``pallas_call`` blocked over columns, so every intermediate lives in
-VMEM and HBM sees each input/output channel exactly once.
+Round-3 profiling (prof/README.md) proved the step is boundary-bound, not
+compute-bound: a rates-only kernel won 2.2x in isolation but lost end to
+end because its ~70-channel HBM boundary (materialization + layout copies
++ lost prologue/tail fusion) cost ~15 ms while the kernel itself added
+only ~0.5 ms.  The fix, shipped here, is to let ONE kernel swallow nearly
+the whole of ``mp_thompson`` (module_mp_thompson09n.f90:1156-3688):
 
-Layout: all channels are (ncol, nz) f32 blocks of (BC, nz); the stacked
-gathered families rv/gv/fv/cv/iv are (k, ncol, nz) with (k, BC, nz)
-blocks.  nz (120) is lane-padded to 128 by Mosaic.
+  * the XLA stage keeps ONLY what must stay outside Mosaic — the
+    lookup-table indices and the scattered family gathers plus their
+    consumer rates (``solver._prologue`` + ``solver._table_stage``), since
+    Mosaic has no scattered-gather primitive and XLA's gather+consumer
+    fusions are the cheapest known lowering of them;
+  * the kernel re-derives the entire prologue VMEM-resident from the raw
+    state (pure VPU math — free compared to an HBM round trip) and then
+    runs phases 8-20: rates, clamps, tendency assembly, provisional
+    update, PSD recompute, saturation-adjustment Newton, rain evaporation,
+    terminal velocities, the CFL-substepped sedimentation sweeps (dynamic
+    trip count), instant melt/freeze, final renorm;
+  * the boundary is therefore 14 input channels (12 state + pres + dzq)
+    plus the 19 table-stage channels, and 12 + 4 output channels.
+
+Layout: all channels are (ncol, nz) blocks of (BC, nz), grid over column
+blocks; nz (120) is lane-padded to 128 by Mosaic.  Vertical structures
+stay inside a block (nz is never sharded): the graupel-N0 suffix cummin
+and the fall-speed fill-down are log-doubling shifted selects, the
+sedimentation substep loop is a ``lax.fori_loop`` whose trip count is the
+BLOCK max (columns in a quiet block no longer pay a stormy block's
+substeps — strictly better than the global batch max of the inline path).
+
+Equivalence with the inline XLA path is pinned by interpret-mode tests
+(tests/test_pallas.py) and the f32 TPU case-length validation artifact.
 """
 from __future__ import annotations
 
-import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os
-
-# columns per block: ~100 live (BC, nz) f32 channels must fit the 16 MB
-# VMEM with double-buffered I/O streaming (BC=256 measured 25.2 MB: OOM)
+# columns per block: live (BC, nz) f32 intermediates must fit the 16 MB
+# VMEM together with double-buffered I/O streaming
 BC = int(os.environ.get("KID_TPU_PALLAS_BC", "128"))
 
+_PRECIP_KEYS = ("ppt_rain", "ppt_snow", "ppt_graupel", "ppt_ice")
 
-def _keys(cfg, want_rates):
+
+def _tv_keys(cfg):
     from . import solver as S
-    in_keys = list(S.P8_BASE)
-    if cfg.is_aerosol_aware:
-        in_keys += list(S.P8_AERO)
-    if not cfg.iiwarm:
-        in_keys += list(S.P8_ICE)
-    out_keys = list(S.P8_OUT) + (list(S.P8_RATES) if want_rates else [])
-    return in_keys, out_keys
+    if cfg.iiwarm:
+        return ("ef_rw",)
+    return ("ef_rw", "ef_sw", "tide") + tuple(
+        k for k in S.P8_ICE
+        if k.startswith(("prr_", "prs_", "prg_", "pnr_", "pri_", "pni_")))
 
 
-def rates_pallas(pro, cfg, dt_f, want_rates=True, interpret=False):
-    """Run ``rates_and_tendencies`` as one fused kernel over column blocks."""
+def _diag_keys(want_rates):
     from . import solver as S
+    if not want_rates:
+        return ()
+    return tuple(S.P8_RATES) + ("prr_gml", "prv_rev", "pnr_rev")
 
-    in_keys, out_keys = _keys(cfg, want_rates)
-    qv = pro["qv"]
+
+def fused_step(state, pres, dzq, tv, cfg, dt_f, want_rates,
+               interpret=None, bc=None):
+    """Run phases 2-20 (``solver.core_from_tables``) as one fused kernel
+    over column blocks.  ``state`` is a (ncol, nz) ColumnState; ``tv`` the
+    table-stage channel dict; non-aerosol configs only (the gate in
+    ``solver._use_pallas`` guarantees this)."""
+    from . import solver as S
+    from .state import ColumnState, Precip
+
+    assert not cfg.is_aerosol_aware
+    qv = state.qv
     ncol, nz = qv.shape
     dtype = qv.dtype
-
-    # the 33 extra rate outputs of want_rates roughly double the output
-    # streaming footprint; halve the block to stay inside VMEM
-    bc = BC if not want_rates else max(32, BC // 2)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bc = bc or (BC if not want_rates else max(32, BC // 2))
     pad = (-ncol) % bc
     ncol_p = ncol + pad
 
+    fields = ColumnState._fields
+    tvk = _tv_keys(cfg)
+    diagk = _diag_keys(want_rates)
+    in_keys = list(fields) + ["pres", "dzq"] + list(tvk)
+    out_keys = list(fields) + list(_PRECIP_KEYS) + list(diagk)
+
     def prep(x):
+        x = jnp.broadcast_to(x, (ncol, nz)).astype(dtype)
         if pad:
-            widths = [(0, 0)] * x.ndim
-            widths[x.ndim - 2] = (0, pad)
-            x = jnp.pad(x, widths, mode="edge")
+            x = jnp.pad(x, ((0, pad), (0, 0)), mode="edge")
         return x
 
-    operands = [prep(pro[k]) for k in in_keys]
+    vals = dict(zip(fields, state))
+    vals["pres"] = pres
+    vals["dzq"] = dzq
+    vals.update(tv)
+    operands = [prep(vals[k]) for k in in_keys]
 
     def kernel(*refs):
-        in_refs = refs[:len(in_keys)]
-        out_refs = refs[len(in_keys):]
-        blk = {k: r[...] for k, r in zip(in_keys, in_refs)}
-        out = S.rates_and_tendencies(blk, cfg, dt_f, want_rates)
-        for k, r in zip(out_keys, out_refs):
-            r[...] = out[k]
+        d = {k: r[...] for k, r in zip(in_keys, refs[:len(in_keys)])}
+        out_refs = dict(zip(out_keys, refs[len(in_keys):]))
+        st = ColumnState(*[d[f] for f in fields])
+        tvb = {k: d[k] for k in tvk}
+        new_state, ppt, diag = S.core_from_tables(
+            st, d["pres"], None, d["dzq"], tvb, cfg, dt_f, want_rates,
+            kernel=True)
+        for f in fields:
+            out_refs[f][...] = getattr(new_state, f)
+        for k, v in zip(_PRECIP_KEYS,
+                        (ppt.rain, ppt.snow, ppt.graupel, ppt.ice)):
+            out_refs[k][...] = v        # already (BC, 1) in kernel mode
+        for k in diagk:
+            out_refs[k][...] = diag[k]
 
-    def spec_for(k):
-        if k in ("rv", "gv", "fv", "cv", "iv"):
-            nk = pro[k].shape[0]
-            return pl.BlockSpec((nk, bc, nz), lambda b: (0, b, 0),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((bc, nz), lambda b: (b, 0),
-                            memory_space=pltpu.VMEM)
+    chan = pl.BlockSpec((bc, nz), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((bc, 1), lambda b: (b, 0),
+                       memory_space=pltpu.VMEM)
+
+    def out_spec(k):
+        return col if k in _PRECIP_KEYS else chan
+
+    def out_shape(k):
+        if k in _PRECIP_KEYS:
+            return jax.ShapeDtypeStruct((ncol_p, 1), dtype)
+        return jax.ShapeDtypeStruct((ncol_p, nz), dtype)
 
     out = pl.pallas_call(
         kernel,
         grid=(ncol_p // bc,),
-        in_specs=[spec_for(k) for k in in_keys],
-        out_specs=[pl.BlockSpec((bc, nz), lambda b: (b, 0),
-                                memory_space=pltpu.VMEM)
-                   for _ in out_keys],
-        out_shape=[jax.ShapeDtypeStruct((ncol_p, nz), dtype)
-                   for _ in out_keys],
+        in_specs=[chan for _ in in_keys],
+        out_specs=[out_spec(k) for k in out_keys],
+        out_shape=[out_shape(k) for k in out_keys],
+        # the 12 state inputs are consumed exactly once and the outputs
+        # have identical shapes: alias them so donated state buffers are
+        # reused in place
+        input_output_aliases={i: i for i in range(len(fields))},
         interpret=interpret,
     )(*operands)
 
-    res = {k: (v[:ncol] if pad else v) for k, v in zip(out_keys, out)}
-    return res
+    res = dict(zip(out_keys, out))
+
+    def unpad(x):
+        return x[:ncol] if pad else x
+
+    new_state = ColumnState(*[unpad(res[f]) for f in fields])
+    precip = Precip(*[unpad(res[k])[:, 0] for k in _PRECIP_KEYS])
+    diag = {k: unpad(res[k]) for k in diagk}
+    return new_state, precip, diag

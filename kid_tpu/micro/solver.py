@@ -49,15 +49,27 @@ CIG = tuple(float(x) for x in c.CIG)
 
 # Stacking orders for the device-side table families.  Tables consumed with
 # the SAME index tuple share ONE gather op per family instead of one per
-# table (gather cost on a v5e is ~10 cycles per INDEX and nearly
-# independent of fetch width: prof/prof_gather4.py at HEAD measures 11
-# separate 1M-index gathers at 130 ms vs one 11-wide family gather at
-# 9-11 ms standalone; in-step the 5 family gathers cost ~13 ms of the
-# 27 ms mixed-phase step — prof/prof_ablate.py no_gather).
-_RACS = ("tcs_racs1", "tcs_racs2", "tmr_racs1", "tmr_racs2", "tcr_sacr1",
-         "tcr_sacr2", "tms_sacr1", "tnr_racs1", "tnr_racs2", "tnr_sacr1",
-         "tnr_sacr2")                     # index (idx_s, idx_t, idx_r1, idx_r)
-_RACG = ("tmr_racg", "tcr_gacr", "tnr_racg", "tnr_gacr", "tcg_racg")
+# table (prof/prof_gather4.py: 11 separate 1M-index gathers cost 130 ms vs
+# one family gather at 9-11 ms standalone).  Beyond stacking, the rain-snow
+# and rain-graupel consumers (f90:1966-1995, 1999-2018) only ever read
+# FIXED LINEAR COMBINATIONS of their tables — e.g. every branch of the
+# rain<->snow rates uses (tmr_racs1+tcr_sacr1), (tmr_racs2+tcr_sacr2),
+# (tcs_racs1+tms_sacr1), and tcs_racs2 is never read at all — so the
+# combinations are pre-summed ONCE at init (in fp64, more accurate than
+# the reference's per-cell f32 adds) and the gather fetches 5-per-cell
+# instead of 11 (racs) and 4 instead of 5 (racg).  Measured at round 4:
+# gather fusion cost scales with fetch width (4.45 ms for 11-wide vs
+# 1.78 ms for 4-wide at 0.98M indices), so this is a ~3 ms/step saving.
+_RACS = (("tmr_racs1", "tcr_sacr1"),      # ma: mass gained by graupel arm 1
+         ("tmr_racs2", "tcr_sacr2"),      # mb: mass exchanged arm 2
+         ("tcs_racs1", "tms_sacr1"),      # mc: snow-side collection arm 1
+         ("tnr_racs1", "tnr_racs2", "tnr_sacr1", "tnr_sacr2"),  # n: cold
+         ("tnr_racs2", "tnr_sacr2"))      # n: warm branch
+                                          # index (idx_s, idx_t, idx_r1, idx_r)
+_RACG = (("tmr_racg", "tcr_gacr"),        # cold: rain mass -> graupel
+         ("tnr_racg", "tnr_gacr"),        # cold: rain number loss
+         ("tnr_gacr",),                   # warm: break-up base (x -5)
+         ("tcg_racg",))                   # warm: graupel melt-collect mass
                                           # index (idx_g1, idx_g, idx_r1, idx_r)
 _QRFZ = ("tpg_qrfz", "tpi_qrfz", "tni_qrfz", "tnr_qrfz")
                                           # index (idx_r, idx_r1, idx_tc)
@@ -76,9 +88,9 @@ class DeviceTables(NamedTuple):
     a real but small edge; the dominant effect is one gather op per
     family rather than per table.)"""
 
-    racs: jax.Array    # (11, ntb_s*ntb_t*ntb_r1*ntb_r), order _RACS
-    racg: jax.Array    # (5, ntb_g1*ntb_g*ntb_r1*ntb_r), order _RACG
-    qrfz: jax.Array    # (4, ntb_r*ntb_r1*45), order _QRFZ
+    racs: jax.Array    # (ntb_s*ntb_t*ntb_r1*ntb_r, 5) row-major, _RACS
+    racg: jax.Array    # (ntb_g1*ntb_g*ntb_r1*ntb_r, 4) row-major, _RACG
+    qrfz: jax.Array    # (ntb_r*ntb_r1*45, 4) row-major, order _QRFZ
     qcfz: jax.Array    # (2, ntb_c*45), order _QCFZ
     iaus: jax.Array    # (3, ntb_i*ntb_i1), order _IAUS
     t_efrw: jax.Array  # (nbr, nbc)
@@ -100,8 +112,21 @@ def device_tables(tables: Tables, dtype=jnp.float32) -> DeviceTables:
                       for n in names], axis=0)
         return jnp.asarray(s.reshape(s.shape[0], -1))
 
+    def stack_rows(combos):
+        # ROW-major (cells, k): one gather index fetches the whole
+        # k-channel row from contiguous memory (one 64B line for k<=16).
+        # Fixed consumer linear combinations pre-summed in fp64 (see the
+        # _RACS/_RACG comment), cast once.
+        s = np.stack([
+            sum(np.asarray(getattr(tables, n), np.float64)
+                for n in ([names] if isinstance(names, str) else names))
+            for names in combos], axis=0).astype(np_dtype)
+        return jnp.asarray(np.ascontiguousarray(
+            s.reshape(s.shape[0], -1).T))
+
     return DeviceTables(
-        racs=stack(_RACS), racg=stack(_RACG), qrfz=stack(_QRFZ),
+        racs=stack_rows(_RACS), racg=stack_rows(_RACG),
+        qrfz=stack_rows(_QRFZ),
         qcfz=stack(_QCFZ), iaus=stack(_IAUS),
         t_efrw=jnp.asarray(np.asarray(tables.t_efrw, np_dtype)),
         t_efsw=jnp.asarray(np.asarray(tables.t_efsw, np_dtype)),
@@ -140,14 +165,38 @@ def _relu(x):
     return jnp.maximum(x, 0.0)
 
 
-def _fill_down(vals, valid):
+def _fill_down(vals, valid, kernel=False):
     """vt(k) = vt(k) if valid else vt(k+1), swept top->bottom with a zero
     upper boundary (f90:3234-3236, 3266-3268, 3306-3307, 3332-3333).
 
     Parallel formulation: "first valid value at-or-above k" is an
     associative suffix scan over (value, seen-valid) pairs — log-depth pure
     elementwise VPU work.  (The earlier index-gather formulation lowered to
-    a scattered 1M-element TPU gather costing ~10 ms per call site.)"""
+    a scattered 1M-element TPU gather costing ~10 ms per call site.)
+
+    ``kernel=True`` uses an explicit log-doubling of shifted selects (the
+    same associative combine, unrolled) because ``lax.associative_scan``'s
+    odd/even recursion lowers poorly under Mosaic; results are identical
+    (the combine is exact selection, no arithmetic)."""
+    if kernel:
+        n = vals.shape[-1]
+        v = vals
+        # carry the seen-valid flag as 0/1 float: Mosaic cannot lane-shift
+        # an i1 vreg (concatenate of bools dies in an invalid
+        # tpu.bitcast_vreg i1->i32); max() is an exact OR on {0,1}
+        f = valid.astype(vals.dtype)
+        s = 1
+        while s < n:
+            # window [k, k+s) merged with [k+s, k+2s): take own when seen
+            v2 = jnp.concatenate([v[..., s:], jnp.zeros_like(v[..., :s])],
+                                 axis=-1)
+            f2 = jnp.concatenate([f[..., s:], jnp.zeros_like(f[..., :s])],
+                                 axis=-1)
+            v = jnp.where(f > 0.5, v, v2)
+            f = jnp.maximum(f, f2)
+            s *= 2
+        return jnp.where(f > 0.5, v, 0.0)
+
     def first_valid(a, b):
         # in a reversed scan the carry arrives as ``a`` (accumulated from
         # ABOVE) and the nearer element as ``b``: prefer b, so each level
@@ -164,20 +213,57 @@ def _fill_down(vals, valid):
     return jnp.where(f, v, 0.0)
 
 
+def _cummin_rev(x, kernel=False):
+    """Reversed (suffix) running minimum along the last axis
+    (lax.cummin(..., reverse=True)).  ``kernel=True`` hand-rolls the
+    log-doubling shifted-min (min is associative: bitwise-identical)."""
+    if not kernel:
+        return lax.cummin(x, axis=x.ndim - 1, reverse=True)
+    n = x.shape[-1]
+    big = jnp.full_like(x[..., :1], jnp.asarray(3.4e38, x.dtype))
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate(
+            [x[..., s:], jnp.broadcast_to(big, x[..., :s].shape)], axis=-1)
+        x = jnp.minimum(x, shifted)
+        s *= 2
+    return x
+
+
+def _kiota(nz: int, kernel=False):
+    """Level-index vector along the last axis; 2-D iota under Mosaic
+    (TPU kernels reject 1-D iota)."""
+    if kernel:
+        return lax.broadcasted_iota(jnp.int32, (1, nz), 1)
+    return lax.iota(jnp.int32, nz)
+
+
 _SA = tuple(float(x) for x in c.SA)
 _SB = tuple(float(x) for x in c.SB)
 
 
-def _use_pallas(ndim: int) -> bool:
-    """Gate for running the phase 8-11 block as one fused Pallas kernel
-    (KID_TPU_PALLAS=1).  Kernel-only timing beats the XLA inline block
-    2.2x (7.35 vs 16.4 ms at (8192,120)), but hoisting the block out of
-    XLA currently breaks the table-gather consumer fusions and the
-    channel materialization eats the win (35 vs 23.6 ms full-step), so
-    the default stays inline until the gather-side restructuring lands."""
+def _use_pallas(state, cfg) -> bool:
+    """Gate for running phases 2-20 as ONE fused Pallas kernel
+    (pallas_step.fused_step): ON BY DEFAULT on TPU for batched (ncol, nz)
+    non-aerosol calls — the shipping configuration.  The kernel recomputes
+    the whole prologue VMEM-resident from the raw state, so its HBM
+    boundary is just the ~15 state/forcing channels plus the ~19
+    table-stage channels (vs the ~70-channel boundary that sank the
+    round-3 rates-only kernel, prof/README.md).
+
+    Off for: CPU (inline XLA is the reference-equivalence path; Mosaic
+    needs a TPU), aerosol-aware mode (phase 14 gathers tnc_wev mid-step,
+    f90:2795-2851), and single-column (nz,) calls.  KID_TPU_PALLAS=0
+    forces inline everywhere; =1 forces the kernel (interpret-mode off
+    TPU — slow, for tests)."""
     import os
-    mode = os.environ.get("KID_TPU_PALLAS", "0")
-    return mode == "1" and ndim >= 2
+    mode = os.environ.get("KID_TPU_PALLAS", "auto")
+    if mode == "0" or cfg.is_aerosol_aware or state.qv.ndim != 2:
+        return False
+    if mode == "1":
+        return True
+    import jax
+    return jax.default_backend() == "tpu"
 
 
 def _field_ab(tc0, m: float):
@@ -215,10 +301,10 @@ def _snow_moments(rs, temp, l_qs, orders):
     return out
 
 
-def _graupel_psd(rg, temp, l_qr, mvd_r, nz):
+def _graupel_psd(rg, temp, l_qr, mvd_r, nz, kernel=False):
     """Graupel N0/lambda with the top-down running-min scan
     (f90:1633-1656) as a reversed cummin.  Rank-polymorphic over (..., nz)."""
-    kk = lax.iota(jnp.int32, nz)
+    kk = _kiota(nz, kernel)
     # k_0: highest level with temp >= 270.65 (f90:1635-1637), default kts
     k0 = jnp.max(jnp.where(temp >= 270.65, kk, 0), axis=-1, keepdims=True)
     xslw1 = jnp.where((kk > k0) & l_qr & (mvd_r > 100.0e-6),
@@ -229,7 +315,7 @@ def _graupel_psd(rg, temp, l_qr, mvd_r, nz):
                             + 30.0 + 10.0 * ygra1))
     n0_exp = jnp.clip(exp10(zans1), c.GONV_MIN, c.GONV_MAX)
     # running minimum swept from the top (f90:1648-1649)
-    n0_exp = lax.cummin(n0_exp, axis=n0_exp.ndim - 1, reverse=True)
+    n0_exp = _cummin_rev(n0_exp, kernel)
     lam_exp = powc(n0_exp * c.AM_G * CGG[1] / rg, c.OGE1)
     lamg = lam_exp * (CGG[3] * c.OGG2 * c.OGG1) ** c.OBMG
     ilamg = 1.0 / lamg
@@ -332,6 +418,16 @@ def _rows_const(mat, idx, dtype):
             accj = jnp.where(idx == k, jnp.asarray(rows[k][j], dtype), accj)
         outs.append(accj)
     return outs
+
+
+def _nuc_rows(nu_c, dtype, kernel=False):
+    """The 6 nu_c-indexed gamma-coefficient columns of ``_NUC_COEF``
+    [ccg1, ccg2, ccg3, ocg1, ocg2, cce2] — one-hot MXU fetch inline,
+    select chain inside a Mosaic kernel (no 3-D dot_general there)."""
+    if kernel:
+        return _rows_const(_NUC_COEF, nu_c, dtype)
+    cf = _rows(jnp.asarray(_NUC_COEF, dtype), nu_c)
+    return [cf[..., j] for j in range(6)]
 
 
 # input channel names for the phase 8-11 rates block; base channels feed
@@ -875,36 +971,24 @@ def rates_and_tendencies(pro, cfg, dt_f, want_rates=True):
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg", "dt", "want_rates"))
-def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
-                        tables: DeviceTables, cfg: MicroConfig,
-                        want_rates: bool = True):
-    """One microphysics timestep on one column.
+def _prologue(state: ColumnState, pres, cfg: MicroConfig, kernel=False,
+              want_idx=True):
+    """Phases 2-7 of mp_thompson (f90:1387-1666) plus the PSD shapes and
+    lookup-table indices of the phase 8-9 prologue (f90:1688-1694,
+    1753-1881): pure table-free math (elementwise + the graupel-N0 suffix
+    cummin), shared verbatim between the inline XLA path and the fused
+    Pallas kernel (which recomputes it VMEM-resident from the raw state —
+    ``kernel=True`` swaps the three Mosaic-hostile formulations: one-hot
+    dot_general row fetch, lax.cummin, 1-D iota).
 
-    Args:
-      state: ColumnState of (nz,) arrays (bottom = index 0 = kts).
-      pres:  pressure [Pa], (nz,).
-      w1d:   vertical velocity [m/s] (only used by aerosol activation).
-      dzq:   layer thickness [m], (nz,).
-      dt:    timestep [s] (scalar).
-      tables: device lookup tables.
-      cfg:   static MicroConfig.
-
-    Returns:
-      (new ColumnState, Precip, diagnostics dict of process-rate profiles).
-
-    Physics per mp_thompson (module_mp_thompson09n.f90:1156-3688); phase
-    numbers refer to SURVEY.md §3.2b.
-    """
+    Returns (pro, idx): ``pro`` holds the P8_BASE/P8_ICE input channels
+    this stage can produce (everything except the table-lookup values and
+    their consumer rates, which ``_table_stage`` adds), ``idx`` the
+    integer lookup indices (empty when ``want_idx=False`` — the kernel
+    never gathers)."""
     nz = state.qv.shape[-1]
     dtype = state.qv.dtype
-    one = jnp.asarray(1.0, dtype)
-    dt_f = float(dt)        # static: bench/driver pass per-case floats
-    dt = jnp.asarray(dt_f, dtype)
-    odt = one / dt
-    odts = odt          # dtsave == dt (f90:1277-1279)
     nt_c = cfg.nt_c
-    ifdry = float(1 - cfg.ifdry)
     z = jnp.zeros_like(state.qv)
 
     t1d, qv1d = state.t, state.qv
@@ -927,12 +1011,10 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     qc1d = jnp.where(l_qc, qc1d, 0.0)
     nc1d = jnp.where(l_qc, nc1d, 0.0)
     rc = jnp.where(l_qc, qc1d * rho, c.R1)
-    nuc_coef = jnp.asarray(_NUC_COEF, dtype)
     nc_raw = jnp.maximum(2.0, nc1d * rho)
     nu_c = jnp.minimum(15, fnint(1000.0e6 / nc_raw) + 2).astype(jnp.int32)
-    cf = _rows(nuc_coef, nu_c)
-    ccg1_n, ccg2_n, ocg1_n, ocg2_n, cce2_n = (
-        cf[..., 0], cf[..., 1], cf[..., 3], cf[..., 4], cf[..., 5])
+    ccg1_n, ccg2_n, _u, ocg1_n, ocg2_n, cce2_n = _nuc_rows(nu_c, dtype,
+                                                           kernel)
     lamc = powc(nc_raw * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
     xdc = (c.BM_R + nu_c.astype(dtype) + 1.0) / lamc
     lamc = jnp.where(xdc < c.D0C, cce2_n / c.D0C,
@@ -1024,27 +1106,29 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
     # ---- phase 6: graupel PSD with running-min N0 scan (f90:1633-1656) ----
     if not cfg.iiwarm:
-        ilamg, n0_g = _graupel_psd(rg, temp, l_qr, mvd_r, nz)
+        ilamg, n0_g = _graupel_psd(rg, temp, l_qr, mvd_r, nz, kernel)
     else:
         ilamg, n0_g = z + 1.0, z
 
     # ---- phase 7: rain PSD (f90:1661-1666) --------------------------------
     ilamr, mvd_r, n0_r = _rain_psd(rr, nr)
 
-    # ---- phases 8-11 prologue: PSD shapes, indices, gathers ---------------
+    # ---- phases 8-11 prologue: PSD shapes + lookup indices ----------------
     # cloud mvd (f90:1688-1694); nu_c/lamc recomputed from current nc
     nu_c = jnp.minimum(15, fnint(1000.0e6 / nc) + 2).astype(jnp.int32)
-    cf = _rows(nuc_coef, nu_c)
-    ccg1_n, ccg2_n, ccg3_n, ocg1_n, ocg2_n = (
-        cf[..., 0], cf[..., 1], cf[..., 2], cf[..., 3], cf[..., 4])
+    ccg1_n, ccg2_n, ccg3_n, ocg1_n, ocg2_n, _u = _nuc_rows(nu_c, dtype,
+                                                           kernel)
     xdc = jnp.maximum(c.D0C * 1.0e6,
                       powc(rc / (c.AM_R * nc), c.OBMR) * 1.0e6)
     lamc = powc(nc * c.AM_R * ccg2_n * ocg1_n / rc, c.OBMR)
     mvd_c = jnp.where(l_qc, (3.0 + nu_c.astype(dtype) + 0.672) / lamc, c.D0C)
     dc_g = powc(ccg3_n * ocg2_n, c.OBMR) / lamc * 1.0e6
-    idx_rw = log_bin_index(jnp.maximum(mvd_r, _DR1), _DR1, _DRN, c.NBR)
-    idx_cw = jnp.clip((mvd_c * 1.0e6).astype(jnp.int32), 1, c.NBC) - 1
-    ef_rw = _lookup2d(tables.t_efrw, idx_rw, idx_cw)
+    idx = {}
+    if want_idx:
+        idx["rw"] = log_bin_index(jnp.maximum(mvd_r, _DR1), _DR1, _DRN,
+                                  c.NBR)
+        idx["cw"] = jnp.clip((mvd_c * 1.0e6).astype(jnp.int32), 1,
+                             c.NBC) - 1
 
     pro = dict(temp=temp, qv=qv, qc1d=qc1d, nc1d=nc1d, qi1d=qi1d,
                ni1d=ni1d, qr1d=qr1d, nr1d=nr1d, qs1d=qs1d, qg1d=qg1d,
@@ -1053,180 +1137,220 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                delqvs=delqvs, ssatw=ssatw, ssati=ssati, diffu=diffu,
                visco=visco, vsc2=vsc2, ocp=ocp, lvap=lvap, tcond=tcond,
                ilamr=ilamr, mvd_r=mvd_r, n0_r=n0_r, mvd_c=mvd_c, xdc=xdc,
-               lamc=lamc, dc_g=dc_g, nu_c_f=nu_c.astype(dtype),
-               ef_rw=ef_rw)
+               lamc=lamc, dc_g=dc_g, nu_c_f=nu_c.astype(dtype))
     if cfg.is_aerosol_aware:
         pro.update(nwfa=nwfa, nifa=nifa)
 
     if not cfg.iiwarm:
-        # temperature / species table indices (f90:1753-1881, 2050-2062)
-        idx_tc = jnp.clip(fnint(-tempc).astype(jnp.int32), 1, 45) - 1
-        idx_t0 = ((tempc - 2.5) / 5.0).astype(jnp.int32) - 1
-        idx_t = jnp.clip(jnp.maximum(1, -idx_t0), 1, c.NTB_T) - 1
-        has_r = rr > _RR1
-        has_g = rg > _RG1
-        lam_exp_r = (1.0 / ilamr) * (CRG[3] * c.ORG2 * c.ORG1) ** c.BM_R
-        n0_exp_r = c.ORG1 * rr / c.AM_R * powc(lam_exp_r, CRE[1])
-        lam_exp_g = (1.0 / ilamg) * (CGG[3] * c.OGG2 * c.OGG1) ** c.BM_G
-        n0_exp_g = c.OGG1 * rg / c.AM_G * powc(lam_exp_g, CGE[1])
-
-        # all 8 decade indices in ONE stacked call so the log10/pow chain
-        # runs once over an (8, ...) stack instead of fragmenting into 8
-        # small kernel groups.  (A round-2 comment claimed a ~2x whole-step
-        # win; re-measured at HEAD the step is critical-path bound and
-        # phase ablations move it little — see prof/README.md — but the
-        # stacked form is kept as the cleaner formulation.)
-        stack = jnp.stack([rc, ri, ni, rr, n0_exp_r, rs, rg, n0_exp_g])
-        shp = (8,) + (1,) * (state.qv.ndim)
-        n2v = jnp.asarray([c.NIC2, c.NII2, c.NII3, c.NIR2, c.NIR3,
-                           c.NIS2, c.NIG2, c.NIG3],
-                          jnp.int32).reshape(shp)
-        ntbv = jnp.asarray([c.NTB_C, c.NTB_I, c.NTB_I1, c.NTB_R,
-                            c.NTB_R1, c.NTB_S, c.NTB_G, c.NTB_G1],
-                           jnp.int32).reshape(shp)
-        idx8 = decade_index(stack, n2v, ntbv)
-        idx_c = jnp.where(rc > _RC1, idx8[0], 0)
-        idx_i = jnp.where(ri > _RI1, idx8[1], 0)
-        idx_i1 = jnp.where(ni > _NTI1, idx8[2], 0)
-        idx_r = jnp.where(has_r, idx8[3], 0)
-        idx_r1 = jnp.where(has_r, idx8[4], c.NTB_R1 - 1)
-        idx_s = jnp.where(rs > _RS1, idx8[5], 0)
-        idx_g = jnp.where(has_g, idx8[6], 0)
-        idx_g1 = jnp.where(has_g, idx8[7], c.NTB_G1 - 1)
-
         xds = jnp.where(l_qs, smoc / jnp.maximum(smob, 1e-30), 0.0)
-        idx_sw = log_bin_index(jnp.maximum(xds, _DS1), _DS1, _DSN, c.NBS)
-        ef_sw = _lookup2d(tables.t_efsw, idx_sw, idx_cw)
-        lin_s = ((idx_s * c.NTB_T + idx_t) * c.NTB_R1 + idx_r1) * c.NTB_R \
-            + idx_r
-        rv = tables.racs[:, lin_s]
-        lin_g = ((idx_g1 * c.NTB_G + idx_g) * c.NTB_R1 + idx_r1) * c.NTB_R \
-            + idx_r
-        gv = tables.racg[:, lin_g]
-        fv = tables.qrfz[:, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]
-        # qcfz/iaus are small enough (37x45, 64x55) for EXACT one-hot MXU
-        # lookups (same trick as _lookup2d) instead of paying the
-        # ~10-cycles-per-index scattered-gather path twice more
-        cv = _lookup2d_family(tables.qcfz, c.NTB_C, 45, idx_c, idx_tc,
-                              dtype)
-        iv = _lookup2d_family(tables.iaus, c.NTB_I, c.NTB_I1, idx_i,
-                              idx_i1, dtype)
-
-        # gather-consuming rates evaluated HERE so each family gather
-        # keeps an XLA consumer fusion (f90:1961-2018, 2065-2148); the
-        # fused Pallas kernel then receives the finished rate channels
-        t_lt_0 = temp < c.T_0
-        ice_on = t_lt_0 & l_qi
-        idx_i_top = idx_i == c.NTB_I - 1
-        # rain<->snow collection via the stacked 11-table family
-        # (f90:1961-1997): ONE row gather per level instead of 11 scattered
-        # gathers (order _RACS)
-        (t_racs1, t_racs2, m_racs1, m_racs2, t_sacr1, t_sacr2, ms_sacr1,
-         n_racs1, n_racs2, n_sacr1, n_sacr2) = [
-            rv[j] for j in range(11)]
-        rs_on = (rr >= _RR1) & (rs >= _RS1)
-        # cold branch (T < T_0): f90:1966-1985
-        prr_rcs_c = jnp.maximum(-rr * odts,
-                                -(m_racs2 + t_sacr2 + m_racs1 + t_sacr1))
-        prs_rcs_c = jnp.maximum(-rs * odts,
-                                m_racs2 + t_sacr2 - t_racs1 - ms_sacr1)
-        prg_rcs_c = jnp.minimum((rr + rs) * odts,
-                                m_racs1 + t_sacr1 + t_racs1 + ms_sacr1)
-        pnr_rcs_c = n_racs1 + n_racs2 + n_sacr1 + n_sacr2
-        # warm branch (T >= T_0): f90:1986-1995
-        prs_rcs_w = jnp.maximum(-rs * odts,
-                                -t_racs1 - ms_sacr1 + m_racs2 + t_sacr2)
-        prr_rcs_w = -prs_rcs_w
-        pnr_rcs_w = n_racs2 + n_sacr2
-        prr_rcs = jnp.where(rs_on, jnp.where(t_lt_0, prr_rcs_c, prr_rcs_w),
-                            0.0)
-        prs_rcs = jnp.where(rs_on, jnp.where(t_lt_0, prs_rcs_c, prs_rcs_w),
-                            0.0)
-        prg_rcs = jnp.where(rs_on & t_lt_0, prg_rcs_c, 0.0)
-        pnr_rcs = jnp.where(
-            rs_on, jnp.minimum(nr * odts,
-                               jnp.where(t_lt_0, pnr_rcs_c, pnr_rcs_w)), 0.0)
-
-        # rain<->graupel collection via the stacked 5-table family
-        # (f90:1999-2018), order _RACG
-        rg_on = (rr >= _RR1) & (rg >= _RG1)
-        prg_rcg_c = jnp.minimum(rr * odts, gv[0] + gv[1])
-        pnr_rcg_c = jnp.minimum(nr * odts, gv[2] + gv[3])
-        prr_rcg_w = jnp.minimum(rg * odts, gv[4])
-        pnr_rcg_w = -5.0 * gv[3]                 # explicit break-up f90:2016
-        prg_rcg = jnp.where(rg_on, jnp.where(t_lt_0, prg_rcg_c, -prr_rcg_w),
-                            0.0)
-        prr_rcg = jnp.where(rg_on, jnp.where(t_lt_0, -prg_rcg_c, prr_rcg_w),
-                            0.0)
-        pnr_rcg = jnp.where(rg_on, jnp.where(t_lt_0, pnr_rcg_c, pnr_rcg_w),
-                            0.0)
-
-        # rain freezing, Bigg 1953 via the stacked 4-table family
-        # (f90:2065-2076), order _QRFZ
-        frz_tab = t_lt_0 & (rr > _RR1)
-        frz_hom = t_lt_0 & ~(rr > _RR1) & (rr > c.R1) & (temp < c.HGFR)
-        prg_rfz = jnp.where(frz_tab, fv[0] * odts, 0.0)
-        pri_rfz = jnp.where(frz_tab, fv[1] * odts,
-                            jnp.where(frz_hom, rr * odts, 0.0))
-        pni_rfz = jnp.where(frz_tab, fv[2] * odts,
-                            jnp.where(frz_hom, nr * odts, 0.0))
-        pnr_rfz = jnp.where(frz_tab,
-                            jnp.minimum(nr * odts, fv[3] * odts),
-                            jnp.where(frz_hom, nr * odts, 0.0))
-
-
-        # cloud water freezing via the stacked pair (f90:2077-2086), _QCFZ
-        wfz_tab = t_lt_0 & (rc > _RC1)
-        wfz_hom = t_lt_0 & ~(rc > _RC1) & (rc > c.R1) & (temp < c.HGFR)
-        pri_wfz = jnp.where(
-            wfz_tab, jnp.minimum(rc * odts, cv[0] * odts),
-            jnp.where(wfz_hom, rc * odts, 0.0))
-        pni_wfz = jnp.where(
-            wfz_tab,
-            jnp.minimum(jnp.minimum(nt_c * odts, pri_wfz / (2.0 * c.XM0I)),
-                        cv[1] * odts),
-            jnp.where(wfz_hom, nc * odts, 0.0))
-
+        # cloud-ice PSD shape for the ide/iau/sci/rci rates (f90:2115-2201)
         lami = powc(c.AM_I * CIG[2] * c.OIG1 * ni / ri, c.OBMI)
         ilami = 1.0 / lami
         xdi = jnp.maximum(c.D0I, (c.BM_I + c.MU_I + 1.0) * ilami)
         xmi = c.AM_I * powc(xdi, c.BM_I)
         oxmi = 1.0 / xmi
-
-        # ice -> snow autoconversion (f90:2135-2148)
-        iau_big = idx_i_top | (xdi > 5.0 * c.D0S)
-        iau_small = xdi < 0.1 * c.D0S
-        prs_iau_t = jnp.minimum(ri * 0.99 * odts, iv[1] * odts)
-        pni_iau_t = jnp.minimum(ni * 0.95 * odts, iv[2] * odts)
-        prs_iau = jnp.where(ice_on,
-                            jnp.where(iau_big, ri * 0.99 * odts,
-                                      jnp.where(iau_small, 0.0, prs_iau_t)),
-                            0.0)
-        pni_iau = jnp.where(ice_on,
-                            jnp.where(iau_big, ni * 0.95 * odts,
-                                      jnp.where(iau_small, 0.0, pni_iau_t)),
-                            0.0)
-
-
-        tide = iv[0]
         pro.update(smo0=smo0, smo1=smo1, smob=smob, smoc=smoc, smoe=smoe,
-                   smof=smof, ilamg=ilamg, n0_g=n0_g, xds=xds, ef_sw=ef_sw,
-                   ilami=ilami, xdi=xdi, oxmi=oxmi, tide=tide,
-                   prr_rcs=prr_rcs, prs_rcs=prs_rcs, prg_rcs=prg_rcs,
-                   pnr_rcs=pnr_rcs, prg_rcg=prg_rcg, prr_rcg=prr_rcg,
-                   pnr_rcg=pnr_rcg, prg_rfz=prg_rfz, pri_rfz=pri_rfz,
-                   pni_rfz=pni_rfz, pnr_rfz=pnr_rfz, pri_wfz=pri_wfz,
-                   pni_wfz=pni_wfz, prs_iau=prs_iau, pni_iau=pni_iau)
+                   smof=smof, ilamg=ilamg, n0_g=n0_g, xds=xds,
+                   ilami=ilami, xdi=xdi, oxmi=oxmi)
+        if want_idx:
+            # temperature / species table indices (f90:1753-1881, 2050-2062)
+            idx["tc"] = jnp.clip(fnint(-tempc).astype(jnp.int32), 1, 45) - 1
+            idx_t0 = ((tempc - 2.5) / 5.0).astype(jnp.int32) - 1
+            idx["t"] = jnp.clip(jnp.maximum(1, -idx_t0), 1, c.NTB_T) - 1
+            has_r = rr > _RR1
+            has_g = rg > _RG1
+            lam_exp_r = (1.0 / ilamr) * (CRG[3] * c.ORG2 * c.ORG1) ** c.BM_R
+            n0_exp_r = c.ORG1 * rr / c.AM_R * powc(lam_exp_r, CRE[1])
+            lam_exp_g = (1.0 / ilamg) * (CGG[3] * c.OGG2 * c.OGG1) ** c.BM_G
+            n0_exp_g = c.OGG1 * rg / c.AM_G * powc(lam_exp_g, CGE[1])
 
-    # ---- phases 8-11: rates + clamps + tendency assembly ------------------
-    # (f90:1676-2569) as the extracted pure block — inline jnp here; the
-    # TPU path runs the SAME function inside one fused Pallas kernel
-    # (pallas_step.rates_pallas)
-    if _use_pallas(state.qv.ndim):
-        from .pallas_step import rates_pallas
-        p8 = rates_pallas(pro, cfg, dt_f, want_rates)
-    else:
-        p8 = rates_and_tendencies(pro, cfg, dt_f, want_rates)
+            # all 8 decade indices in ONE stacked call so the log10/pow
+            # chain runs once over an (8, ...) stack instead of
+            # fragmenting into 8 small kernel groups.
+            stack = jnp.stack([rc, ri, ni, rr, n0_exp_r, rs, rg, n0_exp_g])
+            shp = (8,) + (1,) * (state.qv.ndim)
+            n2v = jnp.asarray([c.NIC2, c.NII2, c.NII3, c.NIR2, c.NIR3,
+                               c.NIS2, c.NIG2, c.NIG3],
+                              jnp.int32).reshape(shp)
+            ntbv = jnp.asarray([c.NTB_C, c.NTB_I, c.NTB_I1, c.NTB_R,
+                                c.NTB_R1, c.NTB_S, c.NTB_G, c.NTB_G1],
+                               jnp.int32).reshape(shp)
+            idx8 = decade_index(stack, n2v, ntbv)
+            idx["c"] = jnp.where(rc > _RC1, idx8[0], 0)
+            idx["i"] = jnp.where(ri > _RI1, idx8[1], 0)
+            idx["i1"] = jnp.where(ni > _NTI1, idx8[2], 0)
+            idx["r"] = jnp.where(has_r, idx8[3], 0)
+            idx["r1"] = jnp.where(has_r, idx8[4], c.NTB_R1 - 1)
+            idx["s"] = jnp.where(rs > _RS1, idx8[5], 0)
+            idx["g"] = jnp.where(has_g, idx8[6], 0)
+            idx["g1"] = jnp.where(has_g, idx8[7], c.NTB_G1 - 1)
+            idx["sw"] = log_bin_index(jnp.maximum(xds, _DS1), _DS1, _DSN,
+                                      c.NBS)
+    return pro, idx
+
+
+def _table_stage(pro, idx, tables: DeviceTables, cfg: MicroConfig,
+                 dt_f: float):
+    """Table lookups and their consumer rates (f90:1715-1726, 1902-1913,
+    1961-2018, 2065-2086, 2135-2148), kept in plain XLA so each scattered
+    family gather retains its consumer fusion (prof/README.md: hoisting a
+    gather's consumers strips the fusion and roughly doubles its cost).
+
+    Returns the ``tv`` channel dict — the ONLY table-derived values the
+    rest of the step needs: ef_rw/ef_sw plus the 16 finished rate channels
+    and tide.  These are what the fused Pallas kernel receives across its
+    boundary (~19 channels instead of the ~70 of the round-3 design)."""
+    dtype = pro["qv"].dtype
+    one = jnp.asarray(1.0, dtype)
+    odts = one / jnp.asarray(float(dt_f), dtype)   # dtsave == dt
+    nt_c = cfg.nt_c
+    temp = pro["temp"]
+    rc = pro["rc"]; nc = pro["nc"]; ri = pro["ri"]; ni = pro["ni"]
+    rr = pro["rr"]; nr = pro["nr"]; rs = pro["rs"]; rg = pro["rg"]
+
+    tv = {"ef_rw": _lookup2d(tables.t_efrw, idx["rw"], idx["cw"])}
+    if cfg.iiwarm:
+        return tv
+
+    ef_sw = _lookup2d(tables.t_efsw, idx["sw"], idx["cw"])
+    idx_r = idx["r"]; idx_r1 = idx["r1"]; idx_tc = idx["tc"]
+    lin_s = ((idx["s"] * c.NTB_T + idx["t"]) * c.NTB_R1 + idx_r1) \
+        * c.NTB_R + idx_r
+    rv = jnp.moveaxis(tables.racs[lin_s], -1, 0)
+    lin_g = ((idx["g1"] * c.NTB_G + idx["g"]) * c.NTB_R1 + idx_r1) \
+        * c.NTB_R + idx_r
+    gv = jnp.moveaxis(tables.racg[lin_g], -1, 0)
+    fv = jnp.moveaxis(
+        tables.qrfz[(idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc], -1, 0)
+    # qcfz/iaus are small enough (37x45, 64x55) for EXACT one-hot MXU
+    # lookups (same trick as _lookup2d) instead of paying the
+    # ~10-cycles-per-index scattered-gather path twice more
+    cv = _lookup2d_family(tables.qcfz, c.NTB_C, 45, idx["c"], idx_tc,
+                          dtype)
+    iv = _lookup2d_family(tables.iaus, c.NTB_I, c.NTB_I1, idx["i"],
+                          idx["i1"], dtype)
+
+    # gather-consuming rates evaluated HERE so each family gather
+    # keeps an XLA consumer fusion (f90:1961-2018, 2065-2148); the
+    # fused Pallas kernel then receives the finished rate channels
+    t_lt_0 = temp < c.T_0
+    ice_on = t_lt_0 & (pro["qi1d"] > c.R1)
+    idx_i_top = idx["i"] == c.NTB_I - 1
+    # rain<->snow collection via the 5 pre-summed combinations
+    # (f90:1961-1997; see the _RACS comment): ma = tmr_racs1+tcr_sacr1,
+    # mb = tmr_racs2+tcr_sacr2, mc = tcs_racs1+tms_sacr1, n_cold/n_warm
+    ma, mb, mc, n_cold, n_warm = [rv[j] for j in range(5)]
+    rs_on = (rr >= _RR1) & (rs >= _RS1)
+    # cold branch (T < T_0): f90:1966-1985
+    prr_rcs_c = jnp.maximum(-rr * odts, -(mb + ma))
+    prs_rcs_c = jnp.maximum(-rs * odts, mb - mc)
+    prg_rcs_c = jnp.minimum((rr + rs) * odts, ma + mc)
+    pnr_rcs_c = n_cold
+    # warm branch (T >= T_0): f90:1986-1995
+    prs_rcs_w = jnp.maximum(-rs * odts, mb - mc)
+    prr_rcs_w = -prs_rcs_w
+    pnr_rcs_w = n_warm
+    prr_rcs = jnp.where(rs_on, jnp.where(t_lt_0, prr_rcs_c, prr_rcs_w),
+                        0.0)
+    prs_rcs = jnp.where(rs_on, jnp.where(t_lt_0, prs_rcs_c, prs_rcs_w),
+                        0.0)
+    prg_rcs = jnp.where(rs_on & t_lt_0, prg_rcs_c, 0.0)
+    pnr_rcs = jnp.where(
+        rs_on, jnp.minimum(nr * odts,
+                           jnp.where(t_lt_0, pnr_rcs_c, pnr_rcs_w)), 0.0)
+
+    # rain<->graupel collection via the 4 pre-summed combinations
+    # (f90:1999-2018; see the _RACG comment)
+    rg_on = (rr >= _RR1) & (rg >= _RG1)
+    prg_rcg_c = jnp.minimum(rr * odts, gv[0])
+    pnr_rcg_c = jnp.minimum(nr * odts, gv[1])
+    prr_rcg_w = jnp.minimum(rg * odts, gv[3])
+    pnr_rcg_w = -5.0 * gv[2]                 # explicit break-up f90:2016
+    prg_rcg = jnp.where(rg_on, jnp.where(t_lt_0, prg_rcg_c, -prr_rcg_w),
+                        0.0)
+    prr_rcg = jnp.where(rg_on, jnp.where(t_lt_0, -prg_rcg_c, prr_rcg_w),
+                        0.0)
+    pnr_rcg = jnp.where(rg_on, jnp.where(t_lt_0, pnr_rcg_c, pnr_rcg_w),
+                        0.0)
+
+    # rain freezing, Bigg 1953 via the stacked 4-table family
+    # (f90:2065-2076), order _QRFZ
+    frz_tab = t_lt_0 & (rr > _RR1)
+    frz_hom = t_lt_0 & ~(rr > _RR1) & (rr > c.R1) & (temp < c.HGFR)
+    prg_rfz = jnp.where(frz_tab, fv[0] * odts, 0.0)
+    pri_rfz = jnp.where(frz_tab, fv[1] * odts,
+                        jnp.where(frz_hom, rr * odts, 0.0))
+    pni_rfz = jnp.where(frz_tab, fv[2] * odts,
+                        jnp.where(frz_hom, nr * odts, 0.0))
+    pnr_rfz = jnp.where(frz_tab,
+                        jnp.minimum(nr * odts, fv[3] * odts),
+                        jnp.where(frz_hom, nr * odts, 0.0))
+
+
+    # cloud water freezing via the stacked pair (f90:2077-2086), _QCFZ
+    wfz_tab = t_lt_0 & (rc > _RC1)
+    wfz_hom = t_lt_0 & ~(rc > _RC1) & (rc > c.R1) & (temp < c.HGFR)
+    pri_wfz = jnp.where(
+        wfz_tab, jnp.minimum(rc * odts, cv[0] * odts),
+        jnp.where(wfz_hom, rc * odts, 0.0))
+    pni_wfz = jnp.where(
+        wfz_tab,
+        jnp.minimum(jnp.minimum(nt_c * odts, pri_wfz / (2.0 * c.XM0I)),
+                    cv[1] * odts),
+        jnp.where(wfz_hom, nc * odts, 0.0))
+
+    xdi = pro["xdi"]
+
+    # ice -> snow autoconversion (f90:2135-2148)
+    iau_big = idx_i_top | (xdi > 5.0 * c.D0S)
+    iau_small = xdi < 0.1 * c.D0S
+    prs_iau_t = jnp.minimum(ri * 0.99 * odts, iv[1] * odts)
+    pni_iau_t = jnp.minimum(ni * 0.95 * odts, iv[2] * odts)
+    prs_iau = jnp.where(ice_on,
+                        jnp.where(iau_big, ri * 0.99 * odts,
+                                  jnp.where(iau_small, 0.0, prs_iau_t)),
+                        0.0)
+    pni_iau = jnp.where(ice_on,
+                        jnp.where(iau_big, ni * 0.95 * odts,
+                                  jnp.where(iau_small, 0.0, pni_iau_t)),
+                        0.0)
+
+
+    return dict(
+        tv, ef_sw=ef_sw, tide=iv[0],
+        prr_rcs=prr_rcs, prs_rcs=prs_rcs, prg_rcs=prg_rcs,
+        pnr_rcs=pnr_rcs, prg_rcg=prg_rcg, prr_rcg=prr_rcg,
+        pnr_rcg=pnr_rcg, prg_rfz=prg_rfz, pri_rfz=pri_rfz,
+        pni_rfz=pni_rfz, pnr_rfz=pnr_rfz, pri_wfz=pri_wfz,
+        pni_wfz=pni_wfz, prs_iau=prs_iau, pni_iau=pni_iau)
+
+def _post_rates(state: ColumnState, pres, w1d, dzq, p8, pro, tables,
+                cfg: MicroConfig, dt_f: float, want_rates: bool,
+                kernel=False):
+    """Phases 12-20 of mp_thompson (f90:2574-3686): provisional state at
+    t+dt, PSD recompute, saturation adjustment + droplet nucleation, rain
+    evaporation, terminal velocities + CFL-substepped sedimentation,
+    instant melt/freeze, final apply + PSD renorm.  Gather-free in
+    non-aerosol mode, so the fused Pallas kernel runs it VMEM-resident
+    (``kernel=True``); aerosol mode additionally gathers tnc_wev /
+    tnccn_act (f90:2795-2851) from ``tables`` and stays inline."""
+    nz = state.qv.shape[-1]
+    dtype = state.qv.dtype
+    one = jnp.asarray(1.0, dtype)
+    dt = jnp.asarray(float(dt_f), dtype)
+    odt = one / dt
+    odts = odt          # dtsave == dt (f90:1277-1279)
+    nt_c = cfg.nt_c
+    ifdry = float(1 - cfg.ifdry)
+    z = jnp.zeros_like(state.qv)
+    t1d, qv1d = state.t, state.qv
+    nwfa1d, nifa1d = state.nwfa, state.nifa
+    # phase-2 zeroed state and stale snow moments from the prologue
+    qc1d = pro["qc1d"]; nc1d = pro["nc1d"]; qi1d = pro["qi1d"]
+    ni1d = pro["ni1d"]; qr1d = pro["qr1d"]; nr1d = pro["nr1d"]
+    qs1d = pro["qs1d"]; qg1d = pro["qg1d"]
+    smob = pro.get("smob", z)
+    smoc = pro.get("smoc", z)
     (tten, qvten, qcten, ncten, qiten, niten, qrten, nrten, qsten, qgten,
      nwfaten, nifaten, vts_boost, mvd_r, prr_gml) = [
         p8[k] for k in P8_OUT]
@@ -1287,7 +1411,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         sm2 = _snow_moments(rs, temp, l_qs, [("c", CSE[1]), ("d", CSE[14])])
         smob = jnp.where(l_qs, sm2["b"], smob)
         smoc = jnp.where(l_qs, sm2["c"], smoc)
-        ilamg, n0_g = _graupel_psd(rg, temp, l_qr, mvd_r, nz)
+        ilamg, n0_g = _graupel_psd(rg, temp, l_qr, mvd_r, nz, kernel)
     ilamr, mvd_r, n0_r = _rain_psd(rr, nr)
 
     # ---- phase 14: saturation adjustment + droplet nucleation -------------
@@ -1417,7 +1541,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
 
     # ---- phases 17+18: terminal velocities + substepped sedimentation -----
     # (f90:3198-3578)
-    kk = lax.iota(jnp.int32, nz)
+    kk = _kiota(nz, kernel)
     top = nz - 1
     odzq = 1.0 / dzq
     orho = 1.0 / rho
@@ -1440,7 +1564,12 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         """One species' substepped upwind sweep (f90:3365-3399 pattern).
         ``vts_num`` / number args may be None for single-moment species.
         Rank-polymorphic: runs max-over-batch substeps with per-column
-        (n < n_loop) masking, reproducing each column's own nstep/onstep."""
+        (n < n_loop) masking, reproducing each column's own nstep/onstep.
+        (Inside the fused kernel the batch is one column BLOCK, so quiet
+        blocks do not pay a stormy block's trip count.)  The surface-precip
+        accumulator keeps a trailing singleton axis so every loop-carried
+        value stays >= 2-D — Mosaic cannot vreg-cast the 1-D masks the
+        squeezed form produces."""
         def shift_up(a):
             return jnp.concatenate([a[..., 1:], a[..., -1:] * 0.0], axis=-1)
 
@@ -1465,13 +1594,14 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                 dn = jnp.where(upd,
                                jnp.maximum(floor_n, dn + dflx_n * odzq * dt
                                            * onstep), dn)
-            ppt = ppt + jnp.where(active[..., 0] & (dm[..., 0] > c.R1 * 10.0),
-                                  sed_m[..., 0] * dt * onstep[..., 0], 0.0)
+            ppt = ppt + jnp.where(
+                active[..., 0:1] & (dm[..., 0:1] > c.R1 * 10.0),
+                sed_m[..., 0:1] * dt * onstep[..., 0:1], 0.0)
             return ten_m, ten_n, dm, dn, ppt
 
         init = (ten_m, ten_n if ten_n is not None else ten_m,
                 dens_m, dens_n if dens_n is not None else dens_m,
-                jnp.zeros(dens_m.shape[:-1], dtype))
+                jnp.zeros(dens_m.shape[:-1] + (1,), dtype))
         ten_m, ten_n, dm, dn, ppt = lax.fori_loop(0, n_iter, body, init)
         return ten_m, ten_n, dm, dn, ppt
 
@@ -1484,17 +1614,17 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     # (f90:3229-3233)
     vtr_n = (rhof * c.AV_R * CRG[7] / CRG[12] * powc(lamr, CRE[12])
              * powc(lamr + c.FV_R, -CRE[7]))
-    vtrk = _fill_down(vtr_m, valid_r)
-    vtnrk = _fill_down(vtr_n, valid_r)
+    vtrk = _fill_down(vtr_m, valid_r, kernel)
+    vtnrk = _fill_down(vtr_n, valid_r, kernel)
     vmax_r = jnp.maximum(vtrk, vtnrk)
     ksed_r, nloop_r, onstep_r = _cfl(vmax_r > 1.0e-3, vmax_r)
     qrten, nrten, rr, nr, pptrain = _sweep(
         nloop_r, onstep_r, ksed_r, vtrk, vtnrk, qrten, nrten, rr, nr,
         c.R1, c.R2, one)
 
-    pptice = jnp.zeros(rr.shape[:-1], dtype)
-    pptsnow = jnp.zeros(rr.shape[:-1], dtype)
-    pptgraul = jnp.zeros(rr.shape[:-1], dtype)
+    pptice = jnp.zeros(rr.shape[:-1] + (1,), dtype)
+    pptsnow = jnp.zeros(rr.shape[:-1] + (1,), dtype)
+    pptgraul = jnp.zeros(rr.shape[:-1] + (1,), dtype)
     if not cfg.iiwarm:
         gate = one if cfg.l_sediment else jnp.zeros((), dtype)
 
@@ -1504,8 +1634,8 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         ilami = 1.0 / lami
         vti_m = rhof * c.AV_I * CIG[3] * c.OIG2 * powc(ilami, c.BV_I)
         vti_n = rhof * c.AV_I * CIG[6] / CIG[7] * powc(ilami, c.BV_I)
-        vtik = _fill_down(vti_m, valid_i)
-        vtnik = _fill_down(vti_n, valid_i)
+        vtik = _fill_down(vti_m, valid_i, kernel)
+        vtnik = _fill_down(vti_n, valid_i, kernel)
         ksed_i, nloop_i, onstep_i = _cfl(vtik > 1.0e-3, vtik)
         qiten, niten, ri, ni, pptice = _sweep(
             nloop_i, onstep_i, ksed_i, vtik, vtnik, qiten, niten, ri, ni,
@@ -1530,7 +1660,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
                                vts * ((vtrk - vts * vts_boost)
                                       / (temp - c.T_0)))
         vts_eff = jnp.where(temp > (c.T_0 + 0.1), vts_melt, vts * vts_boost)
-        vtsk = _fill_down(vts_eff, valid_s)
+        vtsk = _fill_down(vts_eff, valid_s, kernel)
         ksed_s, nloop_s, onstep_s = _cfl(vtsk > 1.0e-3, vtsk)
         qsten, _, rs, _, pptsnow = _sweep(
             nloop_s, onstep_s, ksed_s, vtsk, None, qsten, None, rs, None,
@@ -1540,7 +1670,7 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         valid_g = rg > c.R1
         vtg = rhof * c.AV_G * CGG[6] * c.OGG3 * powc(ilamg, c.BV_G)
         vtg_eff = jnp.where(temp > c.T_0, jnp.maximum(vtg, vtrk), vtg)
-        vtgk = _fill_down(vtg_eff, valid_g)
+        vtgk = _fill_down(vtg_eff, valid_g, kernel)
         ksed_g, nloop_g, onstep_g = _cfl(vtgk > 1.0e-3, vtgk)
         qgten, _, rg, _, pptgraul = _sweep(
             nloop_g, onstep_g, ksed_g, vtgk, None, qgten, None, rg, None,
@@ -1585,9 +1715,8 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     has_c = qc_out > c.R1
     nu_c = jnp.minimum(15, fnint(1000.0e6 / jnp.maximum(nc_out * rho, 1.0))
                        + 2).astype(jnp.int32)
-    cf = _rows(nuc_coef, nu_c)
-    ccg1_n, ccg2_n, ocg1_n, ocg2_n, cce2_n = (
-        cf[..., 0], cf[..., 1], cf[..., 3], cf[..., 4], cf[..., 5])
+    ccg1_n, ccg2_n, _u, ocg1_n, ocg2_n, cce2_n = _nuc_rows(nu_c, dtype,
+                                                           kernel)
     lamc = powc(c.AM_R * ccg2_n * ocg1_n * nc_out
                      / jnp.maximum(qc_out, c.R1), c.OBMR)
     xdc = (c.BM_R + nu_c.astype(dtype) + 1.0) / lamc
@@ -1632,8 +1761,14 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
         t=t_out, qv=qv_out, qc=qc_out, qi=qi_out, qr=qr_out, qs=qs_out,
         qg=qg_out, ni=ni_out, nr=nr_out, nc=nc_out, nwfa=nwfa_out,
         nifa=nifa_out)
-    precip = Precip(rain=pptrain, snow=pptsnow, graupel=pptgraul,
-                    ice=pptice)
+    if kernel:
+        # keep the trailing singleton: the pallas wrapper stores (BC, 1)
+        # precip blocks directly (Mosaic dislikes 1-D values)
+        precip = Precip(rain=pptrain, snow=pptsnow, graupel=pptgraul,
+                        ice=pptice)
+    else:
+        precip = Precip(rain=pptrain[..., 0], snow=pptsnow[..., 0],
+                        graupel=pptgraul[..., 0], ice=pptice[..., 0])
 
     # process-rate diagnostics, the save_dg registry of f90:2963-3124
     # (phase 8-11 rates come from the extracted block; phase-15 rain
@@ -1646,6 +1781,58 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     else:
         diag = {}
     return new_state, precip, diag
+
+
+def core_from_tables(state: ColumnState, pres, w1d, dzq, tv, cfg, dt_f,
+                     want_rates, kernel=False):
+    """Phases 2-20 given only the raw state and the table-stage channels
+    ``tv`` — the body of the fused Pallas kernel (``kernel=True``) and its
+    inline semantics twin for equivalence tests.  Recomputes the prologue
+    from the raw state (pure VPU math, free inside the kernel; XLA CSEs
+    the duplicate against the table stage on the inline path)."""
+    pro, _ = _prologue(state, pres, cfg, kernel=kernel, want_idx=False)
+    pro.update(tv)
+    p8 = rates_and_tendencies(pro, cfg, dt_f, want_rates)
+    return _post_rates(state, pres, w1d, dzq, p8, pro, None, cfg, dt_f,
+                       want_rates, kernel=kernel)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dt", "want_rates"))
+def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
+                        tables: DeviceTables, cfg: MicroConfig,
+                        want_rates: bool = True):
+    """One microphysics timestep on a column or batch of columns.
+
+    Args:
+      state: ColumnState of (nz,) or (ncol, nz) arrays (bottom = kts = 0).
+      pres:  pressure [Pa], broadcastable to state.
+      w1d:   vertical velocity [m/s] (only used by aerosol activation).
+      dzq:   layer thickness [m], broadcastable to state.
+      dt:    timestep [s].  STATIC: must be a hashable Python float (it is
+             a jit static argname here and in batched_microphysics /
+             vmapped_microphysics); passing a traced/jnp scalar raises an
+             unhashable-argument error.  All drivers pass per-case floats.
+      tables: device lookup tables.
+      cfg:   static MicroConfig.
+
+    Returns:
+      (new ColumnState, Precip, diagnostics dict of process-rate profiles).
+
+    Physics per mp_thompson (module_mp_thompson09n.f90:1156-3688); phase
+    numbers in the stage functions refer to SURVEY.md §3.2b.  Structure:
+    ``_prologue`` (indices) -> ``_table_stage`` (gathers + consumer rates,
+    always plain XLA) -> phases 2-20, either inline XLA or — the TPU
+    default — as ONE fused Pallas kernel (pallas_step.fused_step)."""
+    dt_f = float(dt)        # static: bench/driver pass per-case floats
+    pro, idx = _prologue(state, pres, cfg)
+    tv = _table_stage(pro, idx, tables, cfg, dt_f)
+    if _use_pallas(state, cfg):
+        from .pallas_step import fused_step
+        return fused_step(state, pres, dzq, tv, cfg, dt_f, want_rates)
+    pro.update(tv)
+    p8 = rates_and_tendencies(pro, cfg, dt_f, want_rates)
+    return _post_rates(state, pres, w1d, dzq, p8, pro, tables, cfg, dt_f,
+                       want_rates)
 
 
 @partial(jax.jit, static_argnames=("cfg", "dt", "want_rates"))

@@ -10,9 +10,10 @@ compiled in this image (no gfortran), so equivalence is earned against
 this transliteration instead.
 
 Scope: the KiD-live configuration — ``is_aerosol_aware = .false.``
-(module_mp_thompson09n.f90:28), both warm-only (iiwarm) and mixed-phase.
-The aerosol-aware branches raise NotImplementedError until the aerosol
-oracle lands.
+(module_mp_thompson09n.f90:28), both warm-only (iiwarm) and mixed-phase —
+plus the aerosol-aware mode (CCN activation, explicit drop evaporation,
+DeMott/Koop nucleation, scavenging; validated by tests/test_oracle.py and
+the full-length aerosol1d case in VALIDATION artifacts).
 
 Quirk policy follows SURVEY.md §2.6: cloud-droplet sedimentation is dead
 code in the reference (velocities never assigned, f90:3142-3162) and is
