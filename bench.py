@@ -1,6 +1,13 @@
-"""Benchmark: batched column-steps/second of the full mixed-phase solver.
+"""Benchmark: column-steps/second of the REAL KiD cases on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+The primary metric drives the actual mixed1 case — full driver step
+(MUSCL advection + provisional state + fused-Pallas Thompson09 solver)
+inside one lax.scan — widened to 8192 identical columns, timed over 100
+steps starting from a spun-up (cloudy/precipitating) state.  warm1 is
+reported the same way, plus the round-2/3 synthetic solver-only batch for
+history continuity (prof/README.md).
 
 Baseline: the reference publishes no numbers (BASELINE.md), so the
 single-core Fortran denominator is MEASURED — see bench_baseline.py for
@@ -11,9 +18,15 @@ NumPy golden-oracle timing bounded by a 100x interpreter factor:
 the compiled anchor, deliberately favoring the reference — so the
 ">= 10x Fortran" target is vs_baseline >= 10, i.e. >= 1e5
 column-steps/s/chip.
+
+Timing protocol (see memory/prof/README.md): state is carried inside the
+scan (donation-free single dispatch), timing ends with an np.asarray()
+host materialization — block_until_ready() on donated results returns
+early on this platform and cannot be trusted.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -27,8 +40,43 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/kid_tpu_xla"))
 
 
-def main():
+def _case_throughput(case, ncol, n_spin, n_time):
+    """col-steps/s of `case` widened to ncol columns: spin up n_spin
+    steps (cloud/rain/ice active), then time n_time steps in ONE jitted
+    lax.scan."""
     import jax
+    import jax.numpy as jnp
+
+    from kid_tpu.driver.loop import initial_state, run_case, simulate
+    from kid_tpu.micro.solver import device_tables
+    from kid_tpu.tables.cache import get_tables
+
+    dtype = jnp.float32
+    wide = dataclasses.replace(case, nx=ncol)
+    tables = device_tables(get_tables(iiwarm=case.micro.iiwarm), dtype)
+    st = initial_state(wide, dtype)
+
+    # spin-up: reach a physically busy part of the case (pulse active,
+    # hydrometeors present) so the timed window is not no-op physics;
+    # the second call also compiles the n_time-step scan so the timed
+    # region below is execution only
+    st, _ = simulate(st, tables, wide, n_spin)
+    st, _ = simulate(st, tables, wide, n_time)
+    np.asarray(st.qv[0, 0])
+
+    t0 = time.perf_counter()
+    st, _ = simulate(st, tables, wide, n_time)
+    np.asarray(st.qv)        # full host materialization, cannot be faked
+    dt_s = time.perf_counter() - t0
+    return ncol * n_time / dt_s
+
+
+def _synthetic_throughput(ncol, nz, steps):
+    """Round-2/3 solver-only synthetic mixed-phase batch (prof/README.md
+    history); donated per-step dispatch, mixed-PHASE but not the mixed1
+    case."""
+    import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch
     from kid_tpu.config import MicroConfig
@@ -36,52 +84,49 @@ def main():
     from kid_tpu.micro.solver import device_tables
     from kid_tpu.tables.cache import get_tables
 
-    import jax.numpy as jnp
-
-    platform = jax.devices()[0].platform
-    ncol = 8192 if platform != "cpu" else 512
-    nz = 120
-    steps = 100 if platform != "cpu" else 5
     dtype = jnp.float32
-
     cfg = MicroConfig(iiwarm=False)
     tables = device_tables(get_tables(iiwarm=False), dtype)
     state, pres, w, dzq = _example_batch(ncol=ncol, nz=nz, dtype=dtype)
 
-    # Tables/forcing are ARGUMENTS, not closed-over device arrays: a
-    # closed-over jax.Array is embedded as an MLIR constant at lower()
-    # time, which fetches it device->host — ~100-500 s over the tunneled
-    # TPU for the ~40 MB table set (the round-2 bench timeout).
-    #
-    # Donate the state (the production pattern — the driver's lax.scan
-    # carries it the same way); without donation a long step chain stalls
-    # the tunneled allocator (measured 313 ms/step at 100 steps vs a
-    # donated, D2H-verified 23.6 ms).  Timing ends with an np.asarray()
-    # host materialization: block_until_ready() on a donated result
-    # returns early on this platform, a host copy cannot be faked.
     @partial(jax.jit, donate_argnums=(0,))
     def step(st, pres, w, dzq, tables):
         new, _, _ = batched_microphysics(st, pres, w, dzq, 10.0, tables,
                                          cfg, want_rates=False)
         return new
 
-    # warmup / compile
     st = step(state, pres, w, dzq, tables)
     np.asarray(st.qr)
-
     t0 = time.perf_counter()
     for _ in range(steps):
         st = step(st, pres, w, dzq, tables)
-    np.asarray(st.qr)    # force full materialization on the host
-    dt_s = time.perf_counter() - t0
+    np.asarray(st.qr)
+    return ncol * steps / (time.perf_counter() - t0)
 
-    col_steps_per_sec = ncol * steps / dt_s
+
+def main():
+    import jax
+
+    from kid_tpu.driver.cases import MIXED1, WARM1
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    ncol = 8192 if on_tpu else 256
+    n_spin = 250 if on_tpu else 4       # mixed1 dt=2 s -> 500 s, mid-pulse
+    n_time = 100 if on_tpu else 4
+
+    mixed = _case_throughput(MIXED1, ncol, n_spin, n_time)
+    warm = _case_throughput(WARM1, ncol, n_spin * 2, n_time)  # dt=1 s
+    synth = _synthetic_throughput(ncol, 120, 30 if on_tpu else 3)
+
     from bench_baseline import BASELINE_COL_STEPS_PER_SEC as baseline
     print(json.dumps({
-        "metric": "column_steps_per_sec_mixed1_nz120",
-        "value": round(col_steps_per_sec, 1),
+        "metric": "column_steps_per_sec_mixed1_case_nz120",
+        "value": round(mixed, 1),
         "unit": "column-steps/s/chip",
-        "vs_baseline": round(col_steps_per_sec / baseline, 2),
+        "vs_baseline": round(mixed / baseline, 2),
+        "warm1_case": round(warm, 1),
+        "synthetic_mixed_phase_r03_metric": round(synth, 1),
+        "ncol": ncol,
     }))
 
 

@@ -65,22 +65,31 @@ class Case:
                 * np.sin(np.pi * zface / self.ztop)[None, :]
                 * np.sin(2.0 * np.pi * xf / lx)[:, None])
 
+    @property
+    def is_1d(self) -> bool:
+        """True for column cases (no x-advection).  Keyed on dx rather
+        than nx so a 1-D case can be WIDENED to nx identical columns (the
+        flagship throughput benchmark runs mixed1/warm1 at nx=8192, each
+        column the true case)."""
+        return self.dx == 0.0
+
     def rhow_pattern(self, grid: Grid) -> np.ndarray:
         """F_z(x, z) = rho0*w at z-faces, (nx, nz+1)."""
         zface = np.concatenate([[0.0], np.cumsum(grid.dz)])
         rho_face = np.concatenate([grid.rho0[:1],
                                    0.5 * (grid.rho0[1:] + grid.rho0[:-1]),
                                    grid.rho0[-1:]])
-        if self.nx == 1:
+        if self.is_1d:
             wz = self.w1 * np.sin(np.pi * zface / self.ztop)
-            return (rho_face * wz)[None, :]
+            return np.broadcast_to((rho_face * wz)[None, :],
+                                   (self.nx, self.nz + 1))
         psi = self._psi(grid)
         return np.diff(psi, axis=0) / self.dx           # (nx, nz+1)
 
     def rhou_pattern(self, grid: Grid) -> Optional[np.ndarray]:
         """F_x(x, z) = rho0*u at x-faces, (nx+1, nz); circulation part only
         (the u0 background is added in the loop as rho0*u0)."""
-        if self.nx == 1:
+        if self.is_1d:
             return None
         psi = self._psi(grid)
         return -np.diff(psi, axis=1) / grid.dz[None, :]  # (nx+1, nz)

@@ -247,8 +247,8 @@ def simulate(state0: KidState, tables, case: Case, n_steps: int,
     pres2 = jnp.broadcast_to(jnp.asarray(grid.pres, dtype),
                              (case.nx, case.nz))
     w_pat = jnp.asarray(case.rhow_pattern(grid), dtype)
-    u_pat = (jnp.asarray(case.rhou_pattern(grid), dtype)
-             if case.nx > 1 else None)
+    u_pat = (None if case.is_1d
+             else jnp.asarray(case.rhou_pattern(grid), dtype))
 
     def pad_x(q):        # periodic: wrap 2 columns from each end
         return jnp.concatenate([q[:, -2:], q, q[:, :2]], axis=1)
