@@ -239,3 +239,75 @@ def test_lookup2d_family_bitwise_vs_gather():
     want = fam[:, i0 * n1 + i1]
     got = _lookup2d_family(fam, n0, n1, i0, i1, jnp.float32)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_deep_graupel_substeps_per_column():
+    """Deep-convection regime (BASELINE config 3 stress): a column whose
+    graupel fall speed forces nstep > 10 CFL substeps
+    (module_mp_thompson09n.f90:3239-3343) next to a quiet column.  The
+    batch-max trip count with per-column masking must reproduce each
+    column's own nstep exactly: batched == per-column, and the stormy
+    column matches the literal oracle's substepped sweep."""
+    from kid_tpu.micro import solver as S
+    from kid_tpu.validation.oracle import mp_thompson_oracle
+
+    dt, dz = 90.0, 60.0
+    zc, p, t, qv = sounding(cold=True)
+    qg = np.where(zc > 800.0, 0.015, 0.0)        # heavy hail shaft
+    qr = np.where(zc < 1500.0, 1e-3, 0.0)
+    nr = np.where(qr > 0, 2e5, 0.0)
+    stormy, _ = mkstate(zc, p, t, qv, qg=qg, qr=qr, nr=nr)
+    quiet, _ = mkstate(zc, p, t, qv)
+
+    # the configuration really is in the nstep > 10 regime: recompute the
+    # solver's own graupel fall speed from the prologue products
+    pro, _ = S._prologue(stormy, jnp.asarray(p), CFG_MIXED, want_idx=False)
+    rhof = np.asarray(pro["rhof"])
+    vtg = rhof * c.AV_G * float(c.CGG[6]) * c.OGG3 * np.asarray(
+        pro["ilamg"]) ** c.BV_G
+    vtg = np.where(np.asarray(pro["rg"]) > c.R1, vtg, 0.0)
+    nstep = int((dt * vtg / dz).max()) + 1
+    assert nstep > 10, nstep
+
+    batched = ColumnState(*[jnp.stack([getattr(stormy, f),
+                                       getattr(quiet, f)])
+                            for f in ColumnState._fields])
+    sb, pptb, _ = batched_microphysics(
+        batched, jnp.tile(jnp.asarray(p), (2, 1)), jnp.zeros((2, NZ)),
+        jnp.full((2, NZ), dz), dt, TB_MIXED, CFG_MIXED)
+    for i, st in enumerate((stormy, quiet)):
+        si, ppti, _ = column_microphysics(
+            st, jnp.asarray(p), jnp.zeros(NZ), jnp.full(NZ, dz), dt,
+            TB_MIXED, CFG_MIXED)
+        for f in ColumnState._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(sb, f))[i], np.asarray(getattr(si, f)),
+                rtol=1e-12, atol=1e-20, err_msg=f"col {i} field {f}")
+        np.testing.assert_allclose(float(pptb.graupel[i]),
+                                   float(ppti.graupel), rtol=1e-12,
+                                   atol=1e-20)
+
+    # stormy column vs the literal transliteration (per-species nstep,
+    # f90:3336-3343) — proves the masked batch-max sweep reproduces the
+    # reference's own substep count, not just self-consistency
+    tb_host = get_tables(iiwarm=False)
+    o = mp_thompson_oracle(
+        *[np.asarray(getattr(stormy, f), np.float64) for f in
+          ("qv", "qc", "qi", "qr", "qs", "qg", "ni", "nr", "nc",
+           "nwfa", "nifa")],
+        np.asarray(stormy.t, np.float64), np.asarray(p, np.float64),
+        np.zeros(NZ), np.full(NZ, dz), dt, tb_host,
+        iiwarm=False, l_sediment=True, set_nc=100.0,
+        is_aerosol_aware=False, ifdry=0, dusty_ice=True, homog_ice=True)
+    si, ppti, _ = column_microphysics(
+        stormy, jnp.asarray(p), jnp.zeros(NZ), jnp.full(NZ, dz), dt,
+        TB_MIXED, CFG_MIXED)
+    for f, k in (("qg", "qg1d"), ("qr", "qr1d"), ("qv", "qv1d"),
+                 ("t", "t1d")):
+        a = np.asarray(getattr(si, f))
+        b = np.asarray(o[k])
+        scale = np.abs(b).max() + 1e-30
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-9 * scale,
+                                   err_msg=f)
+    np.testing.assert_allclose(float(ppti.graupel), o["pptgraul"],
+                               rtol=1e-9)

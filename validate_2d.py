@@ -1,0 +1,123 @@
+"""2-D case correctness anchors (round-4 verdict item 4).
+
+Two independent anchors for the 2-D cases, written into
+``VALIDATION_r04.json``:
+
+1. **Oracle-twin equivalence** (reduced size, meaningful horizon): run
+   cumulus2d and orographic2d at nx=16 for 200 steps through BOTH
+   ``driver.loop.simulate`` (fp64) and the column-looped oracle twin
+   (``validation/driver_twin.oracle_simulate``, which now applies the
+   same periodic stream-function x-advection).  This validates the
+   adapter tendency round-trip (mphys_thompson09n.f90:60-93, 198-245)
+   under x-advection against the literal transliteration.
+
+2. **Case-length conservation**: run the full-size cases to case length
+   and close the water budget — the domain-total water-mass change
+   Sum_x Sum_z rho0*dz*(qv+qc+qr+qi+qs+qg) [kg/m^2 * columns] must equal
+   minus the accumulated surface precip Sum_t Sum_x ppt [kg/m^2]
+   (sedimentation accumulates sed(kts)*dt*onstep in kg/m^2,
+   module_mp_thompson09n.f90:3391-3392; the periodic flux-form advection
+   telescopes to zero).  Tolerance covers the solver's documented
+   non-conservative floors (qv >= 1e-10, presence thresholds).
+
+Usage:  python validate_2d.py
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from kid_tpu.driver.cases import CUMULUS2D, OROGRAPHIC2D  # noqa: E402
+from kid_tpu.driver.loop import run_case  # noqa: E402
+from kid_tpu.tables.cache import get_tables  # noqa: E402
+from kid_tpu.validation.driver_twin import oracle_simulate  # noqa: E402
+from validate_cases import (OUT, TARGET_FIELDS,  # noqa: E402
+                            score_against_oracle)
+
+RTOL = 1e-4
+WATER_FIELDS = ("qv", "qc", "qr", "qi", "qs", "qg")
+CONS_TOL = 1e-6          # relative water-budget closure
+
+
+def twin_equivalence(case, n_steps):
+    t0 = time.time()
+    tables = get_tables(iiwarm=case.micro.iiwarm)
+    final, streams = run_case(case, n_steps=n_steps)
+    fo, ppt = oracle_simulate(case, n_steps, tables)
+    entry = score_against_oracle(
+        {f: np.asarray(getattr(final, f)) for f in final._fields},
+        np.asarray(streams.ppt_rain).sum(axis=1),     # domain series
+        {**fo, "ppt_rain": ppt["rain"].sum(axis=1)},
+        RTOL, 1e-3)
+    entry["n_steps"] = n_steps
+    entry["nx"] = case.nx
+    entry["seconds"] = round(time.time() - t0, 1)
+    return entry
+
+
+def conservation(case, n_steps):
+    t0 = time.time()
+    grid = case.grid()
+    rho0 = np.asarray(grid.rho0)
+    dz = np.asarray(grid.dz)
+    final, streams = run_case(case, n_steps=n_steps)
+
+    def water(st_fields):
+        q = sum(np.asarray(st_fields[f], np.float64) for f in WATER_FIELDS)
+        return float((q * rho0[None, :] * dz[None, :]).sum())
+
+    from kid_tpu.driver.loop import initial_state
+    st0 = initial_state(case, jnp.float64)
+    w0 = water({f: getattr(st0, f) for f in WATER_FIELDS})
+    wf = water({f: getattr(final, f) for f in WATER_FIELDS})
+    ppt_total = float(sum(
+        np.asarray(getattr(streams, k), np.float64).sum()
+        for k in ("ppt_rain", "ppt_snow", "ppt_graupel", "ppt_ice")))
+    closure = (w0 - wf - ppt_total) / w0
+    return {"n_steps": n_steps, "water0_kg_m2_cols": w0,
+            "water_final": wf, "ppt_total": ppt_total,
+            "relative_closure_error": closure,
+            "pass": bool(abs(closure) <= CONS_TOL),
+            "seconds": round(time.time() - t0, 1)}
+
+
+def main():
+    report = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    report["twod_oracle_twin"] = {}
+    for case in (CUMULUS2D, OROGRAPHIC2D):
+        small = dataclasses.replace(case, nx=16)
+        e = twin_equivalence(small, 200)
+        report["twod_oracle_twin"][case.name] = e
+        print(f"twin {case.name} nx=16 x200: "
+              f"worst={e['worst_target_field_rel']:.3e} "
+              f"ppt={e['cum_ppt_rain_rel']:.3e} pass={e['pass']} "
+              f"({e['seconds']}s)", flush=True)
+    report["twod_conservation"] = {}
+    for case in (CUMULUS2D, OROGRAPHIC2D):
+        e = conservation(case, case.n_steps)
+        report["twod_conservation"][case.name] = e
+        print(f"conservation {case.name} full length: "
+              f"closure={e['relative_closure_error']:.3e} "
+              f"pass={e['pass']} ({e['seconds']}s)", flush=True)
+    report["twod_all_pass"] = all(
+        v["pass"] for d in (report["twod_oracle_twin"],
+                            report["twod_conservation"])
+        for v in d.values())
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"twod_all_pass": report["twod_all_pass"]}))
+
+
+if __name__ == "__main__":
+    main()

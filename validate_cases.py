@@ -1,16 +1,23 @@
 """Full-length case equivalence: JAX driver vs the oracle-driven twin.
 
-Drives warm1 (3,600 steps), mixed1 (1,800 steps) and aerosol1d (900 steps)
-through BOTH ``driver.loop.simulate`` and the oracle twin
+Drives the five 1-D cases — warm1 (3,600 steps), warm1_sh2012 (3,600),
+mixed1 (1,800), deep1 (1,800; the per-species CFL-substep stress case of
+BASELINE config 3) and aerosol1d (900) — through BOTH
+``driver.loop.simulate`` (fp64) and the oracle twin
 (``validation/driver_twin.oracle_simulate``), then compares the
 prognostics the reference wrapper round-trips
 (mphys_thompson09n.f90:198-245) and the cumulative surface-precip series
-(:155-192).  Writes ``VALIDATION_r03.json`` with per-field max relative
+(:155-192).  Writes ``VALIDATION_r04.json`` with per-field max relative
 errors and pass/fail at rtol 1e-4 (the SURVEY §4.2 accuracy target;
 relative to the twin's own field scale so empty fields don't divide by
-zero).
+zero), and saves each oracle final state + precip series to
+``validation_finals/<case>.npz`` so the f32 PRODUCTION-path runs
+(``validate_cases_f32.py`` — a separate process with x64 disabled, on
+CPU inline XLA and on the TPU fused-Pallas default) can be scored
+against the same fp64 arbiter.
 
-Usage:  JAX_PLATFORMS=cpu python validate_cases.py
+Usage:  python validate_cases.py            # fp64 rows + oracle finals
+        python validate_cases_f32.py        # f32 rows (run per backend)
 """
 from __future__ import annotations
 
@@ -31,12 +38,15 @@ jax.config.update("jax_compilation_cache_dir",
 
 import numpy as np  # noqa: E402
 
-from kid_tpu.driver.cases import AEROSOL1D, MIXED1, WARM1  # noqa: E402
+from kid_tpu.driver.cases import (AEROSOL1D, DEEP1, MIXED1, WARM1,  # noqa: E402
+                                  WARM1_SH2012)
 from kid_tpu.driver.loop import run_case  # noqa: E402
 from kid_tpu.tables.cache import get_tables  # noqa: E402
 from kid_tpu.validation.driver_twin import oracle_simulate  # noqa: E402
 
 RTOL = 1e-4
+OUT = "VALIDATION_r04.json"
+FINALS_DIR = "validation_finals"
 # nc/nwfa/nifa are NOT part of the reference accuracy target (BASELINE.md
 # lists qv,qc,qr,qi,qs,qg,ni,nr,theta — the fields the KiD wrapper
 # round-trips, mphys_thompson09n.f90:198-245).  They are this framework's
@@ -45,49 +55,65 @@ RTOL = 1e-4
 # get a documented looser budget.
 TARGET_FIELDS = ("theta", "qv", "qc", "qr", "nr", "qi", "ni", "qs", "qg")
 RTOL_AEROSOL_EXTRAS = 1e-3
-RUNS = [(WARM1, 3600), (MIXED1, 1800), (AEROSOL1D, 900)]
+RUNS = [(WARM1, 3600), (WARM1_SH2012, 3600), (MIXED1, 1800),
+        (DEEP1, 1800), (AEROSOL1D, 900)]
+
+
+def score_against_oracle(final_fields, ppt_rain_series, oracle_npz,
+                         rtol, rtol_extras):
+    """Per-field max rel errors of a driver run vs saved oracle finals."""
+    entry = {"fields": {}}
+    worst_target, worst_extra = 0.0, 0.0
+    for f, a in final_fields.items():
+        b = oracle_npz[f]
+        scale = np.abs(b).max() + 1e-30
+        rel = float(np.abs(np.asarray(a, np.float64) - b).max() / scale)
+        entry["fields"][f] = rel
+        if f in TARGET_FIELDS:
+            worst_target = max(worst_target, rel)
+        else:
+            worst_extra = max(worst_extra, rel)
+    pj = np.asarray(ppt_rain_series, np.float64).cumsum()
+    po = oracle_npz["ppt_rain"].cumsum()
+    ppt_rel = float(np.abs(pj - po).max() / (np.abs(po).max() + 1e-30))
+    entry["cum_ppt_rain_rel"] = ppt_rel
+    entry["worst_target_field_rel"] = worst_target
+    entry["worst_aerosol_extra_rel"] = worst_extra
+    entry["pass"] = bool(worst_target <= rtol and ppt_rel <= rtol
+                         and worst_extra <= rtol_extras)
+    return entry
 
 
 def main():
-    report = {}
+    os.makedirs(FINALS_DIR, exist_ok=True)
+    report = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    report.setdefault("fp64", {})
     for case, n in RUNS:
         t0 = time.time()
         tables = get_tables(iiwarm=case.micro.iiwarm)
         final, streams = run_case(case, n_steps=n)
         fo, ppt = oracle_simulate(case, n, tables)
-        entry = {"n_steps": n, "fields": {}, "seconds": None}
-        worst_target, worst_extra = 0.0, 0.0
-        for f in final._fields:
-            a = np.asarray(getattr(final, f), np.float64)
-            b = fo[f]
-            scale = np.abs(b).max() + 1e-30
-            rel = float(np.abs(a - b).max() / scale)
-            entry["fields"][f] = rel
-            if f in TARGET_FIELDS:
-                worst_target = max(worst_target, rel)
-            else:
-                worst_extra = max(worst_extra, rel)
-        pj = np.asarray(streams.ppt_rain)[:, 0].cumsum()
-        po = ppt["rain"].cumsum()
-        ppt_rel = float(np.abs(pj - po).max()
-                        / (np.abs(po).max() + 1e-30))
-        entry["cum_ppt_rain_rel"] = ppt_rel
-        entry["worst_target_field_rel"] = worst_target
-        entry["worst_aerosol_extra_rel"] = worst_extra
-        entry["pass"] = bool(worst_target <= RTOL and ppt_rel <= RTOL
-                             and worst_extra <= RTOL_AEROSOL_EXTRAS)
+        np.savez(os.path.join(FINALS_DIR, f"{case.name}.npz"),
+                 ppt_rain=ppt["rain"],
+                 **{f: fo[f] for f in final._fields})
+        entry = score_against_oracle(
+            {f: np.asarray(getattr(final, f)) for f in final._fields},
+            np.asarray(streams.ppt_rain)[:, 0],
+            {**{f: fo[f] for f in final._fields}, "ppt_rain": ppt["rain"]},
+            RTOL, RTOL_AEROSOL_EXTRAS)
+        entry["n_steps"] = n
         entry["seconds"] = round(time.time() - t0, 1)
-        report[case.name] = entry
-        print(f"{case.name}: worst_target_rel={worst_target:.3e} "
-              f"worst_extra_rel={worst_extra:.3e} "
-              f"cum_ppt_rel={ppt_rel:.3e} pass={entry['pass']} "
-              f"({entry['seconds']}s)", flush=True)
+        report["fp64"][case.name] = entry
+        print(f"{case.name}: worst_target_rel="
+              f"{entry['worst_target_field_rel']:.3e} "
+              f"worst_extra_rel={entry['worst_aerosol_extra_rel']:.3e} "
+              f"cum_ppt_rel={entry['cum_ppt_rain_rel']:.3e} "
+              f"pass={entry['pass']} ({entry['seconds']}s)", flush=True)
     report["rtol"] = RTOL
-    report["all_pass"] = all(v["pass"] for k, v in report.items()
-                             if isinstance(v, dict))
-    with open("VALIDATION_r03.json", "w") as f:
+    report["fp64_all_pass"] = all(v["pass"] for v in report["fp64"].values())
+    with open(OUT, "w") as f:
         json.dump(report, f, indent=1)
-    print(json.dumps({"all_pass": report["all_pass"]}))
+    print(json.dumps({"fp64_all_pass": report["fp64_all_pass"]}))
 
 
 if __name__ == "__main__":
