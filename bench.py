@@ -60,12 +60,14 @@ def _case_throughput(case, ncol, n_spin, n_time):
     # hydrometeors present) so the timed window is not no-op physics;
     # the second call also compiles the n_time-step scan so the timed
     # region below is execution only
+    # warm-up and timed windows share istep0 (same compiled program; a
+    # different static offset would recompile INSIDE the timed region)
     st, _ = simulate(st, tables, wide, n_spin)
-    st, _ = simulate(st, tables, wide, n_time)
+    st, _ = simulate(st, tables, wide, n_time, istep0=n_spin)
     np.asarray(st.qv[0, 0])
 
     t0 = time.perf_counter()
-    st, _ = simulate(st, tables, wide, n_time)
+    st, _ = simulate(st, tables, wide, n_time, istep0=n_spin)
     np.asarray(st.qv)        # full host materialization, cannot be faked
     dt_s = time.perf_counter() - t0
     return ncol * n_time / dt_s

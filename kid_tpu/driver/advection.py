@@ -22,6 +22,18 @@ multi-device sharding (kid_tpu.dist).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
+
+
+def _zero_end_faces(flux):
+    """Zero the bottom/top boundary faces (zero-flux BC).  Formulated as a
+    lane-index mask rather than ``.at[...].set`` so the same code lowers
+    inside a Mosaic kernel (the fused TPU driver step runs the whole 1-D
+    advection in-kernel); identical values either way."""
+    n = flux.shape[-1]
+    kk = lax.broadcasted_iota(jnp.int32, (1, n), 1).reshape(
+        (1,) * (flux.ndim - 1) + (n,))
+    return jnp.where((kk == 0) | (kk == n - 1), 0.0, flux)
 
 
 def _vanleer(r):
@@ -65,8 +77,7 @@ def advective_tendency_z(q, rhow_face, rho0, dz):
     ghost_hi = q[..., -1:]
     qpad = jnp.concatenate([ghost_lo, q, ghost_hi], axis=-1)
     qf = _muscl_face_values(qpad, rhow_face)
-    flux = rhow_face * qf
-    flux = flux.at[..., 0].set(0.0).at[..., -1].set(0.0)
+    flux = _zero_end_faces(rhow_face * qf)
     return -(flux[..., 1:] - flux[..., :-1]) / (rho0 * dz)
 
 
@@ -75,7 +86,7 @@ def divergence_tendency_z(q, rhow_face, rho0, dz):
 
     Together with the flux-form d*_adv this reduces to pure advective
     transport -w dq/dz, so a uniform tracer sees zero total tendency."""
-    flux = rhow_face.at[..., 0].set(0.0).at[..., -1].set(0.0)
+    flux = _zero_end_faces(rhow_face)
     return q * (flux[..., 1:] - flux[..., :-1]) / (rho0 * dz)
 
 

@@ -170,6 +170,18 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
     # only materialize the 36 per-process rate profiles when a requested
     # diagnostic stream actually needs them
     want_rates = any(n in RATE_NAMES for n in profile_names)
+    # Fully-fused DRIVER step (advection + provisional state + Exner
+    # mapping + solver in one kernel, pallas_step.fused_kid_step):
+    # measured SLOWER than the default (mixed1 21.5 vs 20.0 ms/step,
+    # warm1 5.8 vs 4.8 at (8192,120) f32) because the XLA stage must
+    # still run the advection + provisional state to compute the gather
+    # indices, so fusing it into the kernel only duplicates that work and
+    # widens the kernel.  Kept opt-in (KID_TPU_PALLAS_DRIVER=1) as a
+    # measured negative result — see prof/README.md.
+    import os
+    from ..micro.solver import pallas_enabled
+    fused_driver = (one_d and pallas_enabled(cfg)
+                    and os.environ.get("KID_TPU_PALLAS_DRIVER", "0") == "1")
 
     def step(st: KidState, istep):
         t = istep.astype(dtype) * dt
@@ -208,14 +220,26 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
             nr=prov_named["nr"],
             nc=prov_named["nc"], nwfa=prov_named["nwfa"],
             nifa=prov_named["nifa"])
-        out, ppt, diag = batched_microphysics(
-            micro_in, pres2, w_cent, dzq2, dt, tables, cfg,
-            want_rates=want_rates)
+        if fused_driver:
+            # the provisional state above feeds ONLY the fused gather-index
+            # chain; the kernel re-derives advection + provisional state +
+            # solver VMEM-resident from the raw scan carry
+            from ..micro import solver as S
+            from ..micro.pallas_step import fused_kid_step
+            pro, idx = S._prologue(micro_in, pres2, cfg)
+            tv = S._table_stage(pro, idx, tables, cfg, float(dt))
+            new, ppt, diag = fused_kid_step(
+                st, w_pat[0], m, tv, grid.pres, grid.exner, grid.rho0,
+                grid.dz, cfg, float(dt), want_rates)
+        else:
+            out, ppt, diag = batched_microphysics(
+                micro_in, pres2, w_cent, dzq2, dt, tables, cfg,
+                want_rates=want_rates)
 
-        new = KidState(
-            theta=out.t / exner, qv=out.qv, qc=out.qc, qr=out.qr,
-            nr=out.nr, qi=out.qi, ni=out.ni, qs=out.qs, qg=out.qg,
-            nc=out.nc, nwfa=out.nwfa, nifa=out.nifa)
+            new = KidState(
+                theta=out.t / exner, qv=out.qv, qc=out.qc, qr=out.qr,
+                nr=out.nr, qi=out.qi, ni=out.ni, qs=out.qs, qg=out.qg,
+                nc=out.nc, nwfa=out.nwfa, nifa=out.nifa)
         new_named = new._asdict()
         profs = {}
         for name in profile_names:
@@ -236,12 +260,15 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
 
 
 @partial(jax.jit,
-         static_argnames=("case", "n_steps", "profile_diags"))
+         static_argnames=("case", "n_steps", "profile_diags", "istep0"))
 def simulate(state0: KidState, tables, case: Case, n_steps: int,
-             profile_diags=False):
+             profile_diags=False, istep0: int = 0):
     """Run ``n_steps`` of the case from ``state0``; returns final state and
     per-step diagnostics.  ``profile_diags``: False/True/tuple of stream
-    names (see ``resolve_profile_names``)."""
+    names (see ``resolve_profile_names``).  ``istep0``: starting step
+    index — pass the number of steps already taken when CHUNKING a run
+    across multiple simulate() calls, so the prescribed-flow time
+    modulation m(t) continues instead of replaying the pulse from t=0."""
     grid = case.grid()
     dtype = state0.qv.dtype
     pres2 = jnp.broadcast_to(jnp.asarray(grid.pres, dtype),
@@ -255,7 +282,8 @@ def simulate(state0: KidState, tables, case: Case, n_steps: int,
 
     step = make_step(case, tables, dtype, w_pat, u_pat, pres2, pad_x,
                      resolve_profile_names(profile_diags))
-    final, streams = jax.lax.scan(step, state0, jnp.arange(n_steps))
+    final, streams = jax.lax.scan(
+        step, state0, jnp.arange(istep0, istep0 + n_steps))
     return final, streams
 
 

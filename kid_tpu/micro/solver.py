@@ -256,9 +256,14 @@ def _use_pallas(state, cfg) -> bool:
     f90:2795-2851), and single-column (nz,) calls.  KID_TPU_PALLAS=0
     forces inline everywhere; =1 forces the kernel (interpret-mode off
     TPU — slow, for tests)."""
+    return pallas_enabled(cfg, state.qv.ndim)
+
+
+def pallas_enabled(cfg, ndim: int = 2) -> bool:
+    """Shared gate logic for the fused kernels (see ``_use_pallas``)."""
     import os
     mode = os.environ.get("KID_TPU_PALLAS", "auto")
-    if mode == "0" or cfg.is_aerosol_aware or state.qv.ndim != 2:
+    if mode == "0" or cfg.is_aerosol_aware or ndim != 2:
         return False
     if mode == "1":
         return True

@@ -160,3 +160,61 @@ def test_kernel_mode_substitutions_exact():
     for va, vb in zip(a, b):
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
                                    rtol=1e-7)
+
+
+def test_fused_driver_step_matches_unfused():
+    """The fully-fused 1-D DRIVER step (advection + provisional state +
+    Exner mapping + solver in ONE kernel, pallas_step.fused_kid_step) must
+    match the unfused advect -> batched_microphysics -> update sequence."""
+    import dataclasses
+    import os
+
+    from kid_tpu.driver import loop as L
+    from kid_tpu.driver.cases import MIXED1
+    from kid_tpu.tables.cache import get_tables as _gt
+
+    case = dataclasses.replace(MIXED1, nx=8)
+    grid = case.grid()
+    dtype = jnp.float32
+    tables = S.device_tables(_gt(iiwarm=False), dtype)
+    st = L.initial_state(case, dtype)
+    zc = (np.arange(case.nz) + 0.5) * (case.ztop / case.nz)
+    rng = np.random.default_rng(3)
+
+    def seed(profile):
+        arr = np.broadcast_to(profile, (case.nx, case.nz)).copy()
+        arr *= (1.0 + 0.2 * rng.random((case.nx, 1)))
+        return jnp.asarray(arr, dtype)
+
+    st = st._replace(
+        qc=seed(np.where((zc > 500) & (zc < 3500), 8e-4, 0.0)),
+        qr=seed(np.where(zc < 2500, 3e-4, 0.0)),
+        nr=seed(np.where(zc < 2500, 1e5, 0.0)),
+        qi=seed(np.where(zc > 6000, 4e-5, 0.0)),
+        ni=seed(np.where(zc > 6000, 1e4, 0.0)),
+        qs=seed(np.where(zc > 5000, 2e-4, 0.0)),
+        qg=seed(np.where((zc > 3000) & (zc < 7000), 1e-4, 0.0)))
+    pres2 = jnp.broadcast_to(jnp.asarray(grid.pres, dtype),
+                             (case.nx, case.nz))
+    w_pat = jnp.asarray(case.rhow_pattern(grid), dtype)
+
+    def build(env):
+        os.environ["KID_TPU_PALLAS"] = env
+        try:
+            return L.make_step(case, tables, dtype, w_pat, None, pres2,
+                               None, ())
+        finally:
+            os.environ.pop("KID_TPU_PALLAS", None)
+
+    unfused = jax.jit(build("0"))
+    fused = jax.jit(build("1"))
+    istep = jnp.asarray(150)            # mid-pulse: w active
+    new0, outs0 = unfused(st, istep)
+    new1, outs1 = fused(st, istep)
+    want = {f: getattr(new0, f) for f in new0._fields}
+    got = {f: getattr(new1, f) for f in new1._fields}
+    _assert_equiv(got, want)
+    for k in ("ppt_rain", "ppt_snow", "ppt_graupel", "ppt_ice"):
+        np.testing.assert_allclose(np.asarray(getattr(outs1, k)),
+                                   np.asarray(getattr(outs0, k)),
+                                   rtol=1e-4, atol=1e-12)

@@ -47,12 +47,39 @@ from validate_cases import (OUT, TARGET_FIELDS,  # noqa: E402
 
 RTOL = 1e-4
 WATER_FIELDS = ("qv", "qc", "qr", "qi", "qs", "qg")
-CONS_TOL = 1e-6          # relative water-budget closure
+# The scheme is NOT exactly conservative, faithfully to the reference:
+# presence-floor zeroing (qx <= R1 -> 0, f90:3631-3686), the qv >= 1e-10
+# floor, and — dominant in rainy cases — the sedimentation sweep's
+# sub-threshold gate (surface outflow always leaves the column but is only
+# credited to pptrain when the bottom level is non-trivially wet,
+# f90:3391-3392).  Measured closure at case length: cumulus2d ~4e-3,
+# orographic2d ~1e-5 of total water.  The budget documents that; the
+# BUG-CATCHING assertion is the twin cross-check in twin_equivalence():
+# the driver's closure must EQUAL the literal transliteration's closure.
+CONS_TOL = 1e-2          # documented non-conservation budget
+
+
+def _closure(case, fields0, fields_f, ppt_dict):
+    grid = case.grid()
+    rho0 = np.asarray(grid.rho0)
+    dz = np.asarray(grid.dz)
+
+    def water(d):
+        q = sum(np.asarray(d[f], np.float64) for f in WATER_FIELDS)
+        return float((q * rho0[None, :] * dz[None, :]).sum())
+
+    w0, wf = water(fields0), water(fields_f)
+    ppt = float(sum(np.asarray(v, np.float64).sum()
+                    for v in ppt_dict.values()))
+    return (w0 - wf - ppt) / w0
 
 
 def twin_equivalence(case, n_steps):
     t0 = time.time()
     tables = get_tables(iiwarm=case.micro.iiwarm)
+    from kid_tpu.driver.loop import initial_state
+    st0 = initial_state(case, jnp.float64)
+    fields0 = {f: np.asarray(getattr(st0, f)) for f in WATER_FIELDS}
     final, streams = run_case(case, n_steps=n_steps)
     fo, ppt = oracle_simulate(case, n_steps, tables)
     entry = score_against_oracle(
@@ -60,6 +87,18 @@ def twin_equivalence(case, n_steps):
         np.asarray(streams.ppt_rain).sum(axis=1),     # domain series
         {**fo, "ppt_rain": ppt["rain"].sum(axis=1)},
         RTOL, 1e-3)
+    # closure cross-check: the driver's water-budget residual must equal
+    # the literal transliteration's residual — proves the measured
+    # non-conservation is the reference's own, not a TPU-formulation bug
+    cj = _closure(case, fields0,
+                  {f: getattr(final, f) for f in WATER_FIELDS},
+                  {k: getattr(streams, "ppt_" + k)
+                   for k in ("rain", "snow", "graupel", "ice")})
+    co = _closure(case, fields0, fo, ppt)
+    entry["closure_driver"] = cj
+    entry["closure_oracle_twin"] = co
+    entry["closure_match"] = bool(abs(cj - co) <= 1e-8 + 1e-3 * abs(co))
+    entry["pass"] = bool(entry["pass"] and entry["closure_match"])
     entry["n_steps"] = n_steps
     entry["nx"] = case.nx
     entry["seconds"] = round(time.time() - t0, 1)

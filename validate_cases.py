@@ -27,14 +27,16 @@ import time
 
 import jax
 
-# fp64 oracle comparison is a CPU job; never let it grab the TPU tunnel.
-# NOTE: this image's sitecustomize imports jax at interpreter start, so the
-# JAX_PLATFORMS env var is already consumed — use jax.config instead.
-jax.config.update("jax_platforms", "cpu")
-
-jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir",
-                  "/root/.cache/jax_comp")
+def _configure():
+    # fp64 oracle comparison is a CPU job; never let it grab the TPU
+    # tunnel.  NOTE: this image's sitecustomize imports jax at interpreter
+    # start, so the JAX_PLATFORMS env var is already consumed — use
+    # jax.config instead.  Called from main() ONLY: validate_cases_f32.py
+    # imports this module for its helpers and must NOT have x64 flipped on
+    # by a module-level side effect (that was a real round-4 bug).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
 import numpy as np  # noqa: E402
 
@@ -84,10 +86,55 @@ def score_against_oracle(final_fields, ppt_rain_series, oracle_npz,
     return entry
 
 
+def run_ref_precision_model(case, n):
+    """The reference's own precision design — fp32 STATE with fp64
+    process arithmetic (module_mp_thompson09n.f90:1181-1213) — emulated
+    by running the fp64 driver with the scan carry rounded to f32 every
+    step.  Its deviation from the pure-fp64 oracle twin is the intrinsic
+    state-precision sensitivity of the case, and the yardstick the
+    full-f32 production path is judged against (validate_cases_f32.py).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from kid_tpu.driver.loop import (KidState, initial_state, make_step,
+                                     initial_state as _ist)
+    from kid_tpu.micro.solver import device_tables
+    from kid_tpu.tables.cache import get_tables
+
+    grid = case.grid()
+    tables = device_tables(get_tables(iiwarm=case.micro.iiwarm),
+                           jnp.float64)
+    pres2 = jnp.broadcast_to(jnp.asarray(grid.pres, jnp.float64),
+                             (case.nx, case.nz))
+    w_pat = jnp.asarray(case.rhow_pattern(grid), jnp.float64)
+    step = make_step(case, tables, jnp.float64, w_pat, None, pres2, None,
+                     ())
+
+    def step_rounded(st, i):
+        new, outs = step(st, i)
+        new = KidState(*[x.astype(jnp.float32).astype(jnp.float64)
+                         for x in new])
+        return new, outs
+
+    @jax.jit
+    def run(st0):
+        return lax.scan(step_rounded, st0, jnp.arange(n))
+
+    final, streams = run(initial_state(case, jnp.float64))
+    return final, streams
+
+
 def main():
+    _configure()
     os.makedirs(FINALS_DIR, exist_ok=True)
     report = json.load(open(OUT)) if os.path.exists(OUT) else {}
     report.setdefault("fp64", {})
+    import jax.numpy as jnp
+
+    from kid_tpu.driver.loop import initial_state, simulate
+    from kid_tpu.micro.solver import device_tables
+
     for case, n in RUNS:
         t0 = time.time()
         tables = get_tables(iiwarm=case.micro.iiwarm)
@@ -102,6 +149,34 @@ def main():
             {**{f: fo[f] for f in final._fields}, "ppt_rain": ppt["rain"]},
             RTOL, RTOL_AEROSOL_EXTRAS)
         entry["n_steps"] = n
+        # intrinsic trajectory sensitivity at case length: the SAME fp64
+        # program from a 1e-7-perturbed qv — the yardstick the f32
+        # production-path rows are judged against (an f32 rounding is a
+        # ~1e-7-class perturbation per step; if f32-vs-oracle divergence
+        # is comparable to this, it is chaos-dominated, not a numerics
+        # bug)
+        tb64 = device_tables(tables, jnp.float64)
+        st0p = initial_state(case, jnp.float64)
+        st0p = st0p._replace(qv=st0p.qv * (1.0 + 1.0e-7))
+        finalp, streamsp = simulate(st0p, tb64, case, n)
+        pent = score_against_oracle(
+            {f: np.asarray(getattr(finalp, f)) for f in finalp._fields},
+            np.asarray(streamsp.ppt_rain)[:, 0],
+            {**{f: fo[f] for f in final._fields}, "ppt_rain": ppt["rain"]},
+            RTOL, RTOL_AEROSOL_EXTRAS)
+        entry["perturbed_1em7_worst_target_rel"] = \
+            pent["worst_target_field_rel"]
+        entry["perturbed_1em7_cum_ppt_rel"] = pent["cum_ppt_rain_rel"]
+        # the reference's own precision model (f32 state + fp64 rates)
+        finalr, streamsr = run_ref_precision_model(case, n)
+        rent = score_against_oracle(
+            {f: np.asarray(getattr(finalr, f)) for f in finalr._fields},
+            np.asarray(streamsr.ppt_rain)[:, 0],
+            {**{f: fo[f] for f in final._fields}, "ppt_rain": ppt["rain"]},
+            RTOL, RTOL_AEROSOL_EXTRAS)
+        entry["ref_precision_model_worst_target_rel"] = \
+            rent["worst_target_field_rel"]
+        entry["ref_precision_model_cum_ppt_rel"] = rent["cum_ppt_rain_rel"]
         entry["seconds"] = round(time.time() - t0, 1)
         report["fp64"][case.name] = entry
         print(f"{case.name}: worst_target_rel="
