@@ -82,8 +82,7 @@ def aot_8chip_overlap():
     from kid_tpu.micro.solver import device_tables
     from kid_tpu.tables.cache import get_tables
 
-    topo = topologies.get_topology_desc("v5e:4x2",
-                                        "tpu_v5_lite_device:4x2")
+    topo = topologies.get_topology_desc("v5e:4x2")
     devs = np.array(topo.devices)
     mesh = Mesh(devs, (M.AXIS,))
     case = dataclasses.replace(CUMULUS2D, nx=64)
