@@ -1219,14 +1219,19 @@ def _table_stage(pro, idx, tables: DeviceTables, cfg: MicroConfig,
 
     ef_sw = _lookup2d(tables.t_efsw, idx["sw"], idx["cw"])
     idx_r = idx["r"]; idx_r1 = idx["r1"]; idx_tc = idx["tc"]
+    # gathered rows stay (..., k); consumers slice the trailing axis so
+    # XLA fuses the channel extraction instead of materializing a
+    # transpose (a moveaxis here cost ~0.7 ms of relayout copies)
     lin_s = ((idx["s"] * c.NTB_T + idx["t"]) * c.NTB_R1 + idx_r1) \
         * c.NTB_R + idx_r
-    rv = jnp.moveaxis(tables.racs[lin_s], -1, 0)
+    rv_rows = tables.racs[lin_s]
+    rv = [rv_rows[..., j] for j in range(rv_rows.shape[-1])]
     lin_g = ((idx["g1"] * c.NTB_G + idx["g"]) * c.NTB_R1 + idx_r1) \
         * c.NTB_R + idx_r
-    gv = jnp.moveaxis(tables.racg[lin_g], -1, 0)
-    fv = jnp.moveaxis(
-        tables.qrfz[(idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc], -1, 0)
+    gv_rows = tables.racg[lin_g]
+    gv = [gv_rows[..., j] for j in range(gv_rows.shape[-1])]
+    fv_rows = tables.qrfz[(idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]
+    fv = [fv_rows[..., j] for j in range(fv_rows.shape[-1])]
     # qcfz/iaus are small enough (37x45, 64x55) for EXACT one-hot MXU
     # lookups (same trick as _lookup2d) instead of paying the
     # ~10-cycles-per-index scattered-gather path twice more

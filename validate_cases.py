@@ -97,8 +97,7 @@ def run_ref_precision_model(case, n):
     import jax.numpy as jnp
     from jax import lax
 
-    from kid_tpu.driver.loop import (KidState, initial_state, make_step,
-                                     initial_state as _ist)
+    from kid_tpu.driver.loop import KidState, initial_state, make_step
     from kid_tpu.micro.solver import device_tables
     from kid_tpu.tables.cache import get_tables
 
