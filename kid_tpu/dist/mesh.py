@@ -27,8 +27,8 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..driver.advection import advective_tendency_x_padded
-from ..driver.loop import (KidState, StepOutputs, make_step,
-                           resolve_profile_names)
+from ..driver.loop import (KidState, ScanOutputs, _unpack_streams,
+                           make_step, resolve_profile_names)
 
 from jax import shard_map as _shard_map_new
 
@@ -119,14 +119,13 @@ def simulate_sharded(state0: KidState, tables, case, n_steps: int,
 
     state_spec = KidState(*[P(AXIS, None)] * len(KidState._fields))
     prof_spec = {n: P(None, AXIS, None) for n in names}
-    out_stream_spec = StepOutputs(
-        ppt_rain=P(None, AXIS), ppt_snow=P(None, AXIS),
-        ppt_graupel=P(None, AXIS), ppt_ice=P(None, AXIS),
-        profiles=prof_spec)
+    out_stream_spec = ScanOutputs(ppt=P(None, None, AXIS),
+                                  profiles=prof_spec)
     u_spec = P(AXIS, None, None) if u_pat_full is not None else None
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(state_spec, P(AXIS, None), u_spec, P(AXIS, None)),
         out_specs=(state_spec, out_stream_spec),
         check_vma=False)
-    return fn(state0, w_pat_full, u_pat_full, pres_full)
+    final, raw = fn(state0, w_pat_full, u_pat_full, pres_full)
+    return final, _unpack_streams(raw)

@@ -68,13 +68,33 @@ class KidState(NamedTuple):
 
 
 class StepOutputs(NamedTuple):
-    """Per-step diagnostic stream (scan outputs)."""
+    """Per-step diagnostic stream (the public shape returned by
+    ``simulate``; per-step arrays are stacked over the leading time
+    axis)."""
 
-    ppt_rain: jnp.ndarray      # (nx,) surface precip this step [m-equiv]
+    ppt_rain: jnp.ndarray      # (nx,) surface precip this step [kg/m^2]
     ppt_snow: jnp.ndarray
     ppt_graupel: jnp.ndarray
     ppt_ice: jnp.ndarray
     profiles: dict             # name -> (nx, nz) per-step profile
+
+
+class ScanOutputs(NamedTuple):
+    """INTERNAL per-step scan carry-out: the four precip species packed
+    as one (4, nx) array so the scan stacks them with ONE
+    dynamic-update-slice per step instead of four (measured ~0.5 ms/step
+    of update-slice traffic at (8192, 120)); ``simulate`` unpacks to the
+    public StepOutputs via free slices."""
+
+    ppt: jnp.ndarray           # (4, nx): rain, snow, graupel, ice
+    profiles: dict
+
+
+def _unpack_streams(raw: "ScanOutputs") -> StepOutputs:
+    p = raw.ppt                # (n_steps, 4, nx)
+    return StepOutputs(ppt_rain=p[:, 0], ppt_snow=p[:, 1],
+                       ppt_graupel=p[:, 2], ppt_ice=p[:, 3],
+                       profiles=raw.profiles)
 
 
 # the wrapper's per-level microphysics-tendency back-outs
@@ -251,9 +271,9 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
                 # d<field>_mphys back-out (mphys_thompson09n.f90:198-245)
                 f = name[1:-len("_mphys")]
                 profs[name] = (new_named[f] - prov_named[f]) * odt
-        outs = StepOutputs(ppt_rain=ppt.rain, ppt_snow=ppt.snow,
-                           ppt_graupel=ppt.graupel, ppt_ice=ppt.ice,
-                           profiles=profs)
+        outs = ScanOutputs(
+            ppt=jnp.stack([ppt.rain, ppt.snow, ppt.graupel, ppt.ice]),
+            profiles=profs)
         return new, outs
 
     return step
@@ -282,9 +302,9 @@ def simulate(state0: KidState, tables, case: Case, n_steps: int,
 
     step = make_step(case, tables, dtype, w_pat, u_pat, pres2, pad_x,
                      resolve_profile_names(profile_diags))
-    final, streams = jax.lax.scan(
+    final, raw = jax.lax.scan(
         step, state0, jnp.arange(istep0, istep0 + n_steps))
-    return final, streams
+    return final, _unpack_streams(raw)
 
 
 def run_case(case: Case, dtype=jnp.float64, n_steps=None,

@@ -214,7 +214,6 @@ def test_fused_driver_step_matches_unfused():
     want = {f: getattr(new0, f) for f in new0._fields}
     got = {f: getattr(new1, f) for f in new1._fields}
     _assert_equiv(got, want)
-    for k in ("ppt_rain", "ppt_snow", "ppt_graupel", "ppt_ice"):
-        np.testing.assert_allclose(np.asarray(getattr(outs1, k)),
-                                   np.asarray(getattr(outs0, k)),
-                                   rtol=1e-4, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(outs1.ppt),
+                               np.asarray(outs0.ppt),
+                               rtol=1e-4, atol=1e-12)
