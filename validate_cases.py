@@ -97,7 +97,8 @@ def run_ref_precision_model(case, n):
     import jax.numpy as jnp
     from jax import lax
 
-    from kid_tpu.driver.loop import KidState, initial_state, make_step
+    from kid_tpu.driver.loop import (KidState, _unpack_streams,
+                                     initial_state, make_step)
     from kid_tpu.micro.solver import device_tables
     from kid_tpu.tables.cache import get_tables
 
@@ -120,8 +121,8 @@ def run_ref_precision_model(case, n):
     def run(st0):
         return lax.scan(step_rounded, st0, jnp.arange(n))
 
-    final, streams = run(initial_state(case, jnp.float64))
-    return final, streams
+    final, raw = run(initial_state(case, jnp.float64))
+    return final, _unpack_streams(raw)
 
 
 def main():
