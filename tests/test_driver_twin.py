@@ -50,3 +50,25 @@ def test_aerosol_state_is_prognostic():
     assert np.max(np.abs(nwfa - nwfa0) / nwfa0.max()) > 1e-4
     # and the solver floor keeps it physical
     assert np.isfinite(nwfa).all() and (nwfa > 0).all()
+
+
+def test_chunked_simulate_continues_forcing_clock():
+    """simulate(istep0=...) must make chunked runs identical to one long
+    run — the forcing modulation m(t) continues instead of replaying the
+    pulse from t=0 (a real round-4 bug class: a chunked diagnostic
+    replayed the updraft pulse five times and doubled the snow)."""
+    import jax.numpy as jnp
+
+    from kid_tpu.driver.loop import initial_state, simulate
+    from kid_tpu.micro.solver import device_tables
+
+    case = MIXED1
+    tables = device_tables(get_tables(iiwarm=False), jnp.float64)
+    st0 = initial_state(case, jnp.float64)
+    full, _ = simulate(st0, tables, case, 12)
+    st, _ = simulate(st0, tables, case, 5)
+    st, _ = simulate(st, tables, case, 7, istep0=5)
+    for f in st._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st, f)), np.asarray(getattr(full, f)),
+            err_msg=f)
