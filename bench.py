@@ -111,7 +111,8 @@ def main():
 
     from kid_tpu.driver.cases import MIXED1, WARM1
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
     ncol = 8192 if on_tpu else 256
     n_spin = 250 if on_tpu else 4       # mixed1 dt=2 s -> 500 s, mid-pulse
     n_time = 100 if on_tpu else 4
@@ -119,6 +120,22 @@ def main():
     mixed = _case_throughput(MIXED1, ncol, n_spin, n_time)
     warm = _case_throughput(WARM1, ncol, n_spin * 2, n_time)  # dt=1 s
     synth = _synthetic_throughput(ncol, 120, 30 if on_tpu else 3)
+
+    # real-chip Mosaic smoke (pytest -m tpu), AFTER the timed windows so
+    # a tunnel hiccup cannot skew the numbers (VERDICT r4 next #8)
+    smoke = "skipped_cpu"
+    if on_tpu:
+        import subprocess
+        import sys
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", "-q", "-m", "tpu",
+                 "tests/test_tpu_smoke.py"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=900)
+            smoke = "pass" if r.returncode == 0 else "fail"
+        except subprocess.TimeoutExpired:
+            smoke = "timeout"
 
     from bench_baseline import BASELINE_COL_STEPS_PER_SEC as baseline
     print(json.dumps({
@@ -129,6 +146,11 @@ def main():
         "warm1_case": round(warm, 1),
         "synthetic_mixed_phase_r03_metric": round(synth, 1),
         "ncol": ncol,
+        # backend self-description: a CPU fallback run (smoke only) must
+        # never be mistaken for a chip number (VERDICT r4 weak #7)
+        "backend": dev.platform,
+        "device": str(getattr(dev, "device_kind", dev)),
+        "tpu_smoke": smoke,
     }))
 
 

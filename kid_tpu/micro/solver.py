@@ -19,6 +19,7 @@ Phase numbering in comments follows SURVEY.md §3.2b.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -408,6 +409,49 @@ def _lookup2d_family(fam, n0, n1, i0, i1, dtype):
     oh1 = jax.nn.one_hot(i1, n1, dtype=dtype)
     out = jnp.sum(b * oh1[..., None], axis=-2)          # (..., k)
     return jnp.moveaxis(out, -1, 0)                     # (k, ...)
+
+
+# Static capacity (levels) of the active-band window for the three
+# scattered family gathers; 0 disables banding.  See _banded_gather.
+_GATHER_KBAND = int(os.environ.get("KID_TPU_GATHER_KBAND", "64"))
+
+
+def _banded_gather(table, lin, mask, kband: int):
+    """Family-table gather restricted to the tightest k-band that contains
+    every True of ``mask`` (the consumers' own activity test — the
+    reference guards the same blocks per cell, e.g. ``if (L_qr(k) .and.
+    L_qs(k))`` at f90:1961/1999/2065).
+
+    TPU scattered gathers cost ~10 cycles per INDEX regardless of fetch
+    width (prof/README.md), and in the KiD cases the rain∧snow,
+    rain∧graupel and subfreezing-rain masks live in a narrow contiguous
+    band of levels (the mixed-phase/melting layer).  Slicing a
+    static-capacity window around that band first (``lax.dynamic_slice``
+    — a bulk vector copy, not a per-index op) cuts the gather's index
+    count by ~nz/kband.  Window cells outside the mask gather harmlessly
+    (every consumer rate is ``where``-masked by the same condition);
+    outside the window the rows are zeros, masked identically.  When the
+    band is wider than the window the full gather runs instead
+    (``lax.cond``), so consumed results match the unbanded path bitwise
+    in all regimes."""
+    nz = lin.shape[-1]
+    if kband <= 0 or nz <= kband:
+        return table[lin]
+    act = jnp.any(mask, axis=tuple(range(mask.ndim - 1)))      # (nz,)
+    k0 = jnp.argmax(act).astype(jnp.int32)
+    k1 = (nz - jnp.argmax(act[::-1])).astype(jnp.int32)
+    width = jnp.where(jnp.any(act), k1 - k0, 0)
+    lead = (0,) * (lin.ndim - 1)
+
+    def banded(_):
+        s0 = jnp.minimum(k0, nz - kband)     # dynamic_slice's own clamp
+        lin_b = lax.dynamic_slice(lin, lead + (s0,),
+                                  lin.shape[:-1] + (kband,))
+        rows_b = table[lin_b]
+        full = jnp.zeros(lin.shape + (table.shape[-1],), table.dtype)
+        return lax.dynamic_update_slice(full, rows_b, lead + (s0, 0))
+
+    return lax.cond(width <= kband, banded, lambda _: table[lin], None)
 
 
 def _rows_const(mat, idx, dtype):
@@ -1219,18 +1263,26 @@ def _table_stage(pro, idx, tables: DeviceTables, cfg: MicroConfig,
 
     ef_sw = _lookup2d(tables.t_efsw, idx["sw"], idx["cw"])
     idx_r = idx["r"]; idx_r1 = idx["r1"]; idx_tc = idx["tc"]
+    # activity masks (identical to the consumers' where-conditions below)
+    # drive the banded family gathers — see _banded_gather
+    t_lt_0 = temp < c.T_0
+    rs_on = (rr >= _RR1) & (rs >= _RS1)
+    rg_on = (rr >= _RR1) & (rg >= _RG1)
+    frz_tab = t_lt_0 & (rr > _RR1)
     # gathered rows stay (..., k); consumers slice the trailing axis so
     # XLA fuses the channel extraction instead of materializing a
     # transpose (a moveaxis here cost ~0.7 ms of relayout copies)
     lin_s = ((idx["s"] * c.NTB_T + idx["t"]) * c.NTB_R1 + idx_r1) \
         * c.NTB_R + idx_r
-    rv_rows = tables.racs[lin_s]
+    rv_rows = _banded_gather(tables.racs, lin_s, rs_on, _GATHER_KBAND)
     rv = [rv_rows[..., j] for j in range(rv_rows.shape[-1])]
     lin_g = ((idx["g1"] * c.NTB_G + idx["g"]) * c.NTB_R1 + idx_r1) \
         * c.NTB_R + idx_r
-    gv_rows = tables.racg[lin_g]
+    gv_rows = _banded_gather(tables.racg, lin_g, rg_on, _GATHER_KBAND)
     gv = [gv_rows[..., j] for j in range(gv_rows.shape[-1])]
-    fv_rows = tables.qrfz[(idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc]
+    fv_rows = _banded_gather(
+        tables.qrfz, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc,
+        frz_tab, _GATHER_KBAND)
     fv = [fv_rows[..., j] for j in range(fv_rows.shape[-1])]
     # qcfz/iaus are small enough (37x45, 64x55) for EXACT one-hot MXU
     # lookups (same trick as _lookup2d) instead of paying the
@@ -1243,14 +1295,12 @@ def _table_stage(pro, idx, tables: DeviceTables, cfg: MicroConfig,
     # gather-consuming rates evaluated HERE so each family gather
     # keeps an XLA consumer fusion (f90:1961-2018, 2065-2148); the
     # fused Pallas kernel then receives the finished rate channels
-    t_lt_0 = temp < c.T_0
     ice_on = t_lt_0 & (pro["qi1d"] > c.R1)
     idx_i_top = idx["i"] == c.NTB_I - 1
     # rain<->snow collection via the 5 pre-summed combinations
     # (f90:1961-1997; see the _RACS comment): ma = tmr_racs1+tcr_sacr1,
     # mb = tmr_racs2+tcr_sacr2, mc = tcs_racs1+tms_sacr1, n_cold/n_warm
     ma, mb, mc, n_cold, n_warm = [rv[j] for j in range(5)]
-    rs_on = (rr >= _RR1) & (rs >= _RS1)
     # cold branch (T < T_0): f90:1966-1985
     prr_rcs_c = jnp.maximum(-rr * odts, -(mb + ma))
     prs_rcs_c = jnp.maximum(-rs * odts, mb - mc)
@@ -1271,7 +1321,6 @@ def _table_stage(pro, idx, tables: DeviceTables, cfg: MicroConfig,
 
     # rain<->graupel collection via the 4 pre-summed combinations
     # (f90:1999-2018; see the _RACG comment)
-    rg_on = (rr >= _RR1) & (rg >= _RG1)
     prg_rcg_c = jnp.minimum(rr * odts, gv[0])
     pnr_rcg_c = jnp.minimum(nr * odts, gv[1])
     prr_rcg_w = jnp.minimum(rg * odts, gv[3])
@@ -1285,7 +1334,6 @@ def _table_stage(pro, idx, tables: DeviceTables, cfg: MicroConfig,
 
     # rain freezing, Bigg 1953 via the stacked 4-table family
     # (f90:2065-2076), order _QRFZ
-    frz_tab = t_lt_0 & (rr > _RR1)
     frz_hom = t_lt_0 & ~(rr > _RR1) & (rr > c.R1) & (temp < c.HGFR)
     prg_rfz = jnp.where(frz_tab, fv[0] * odts, 0.0)
     pri_rfz = jnp.where(frz_tab, fv[1] * odts,

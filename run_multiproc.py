@@ -53,8 +53,11 @@ def main():
     run_workers(2, 12355, multi)
     print("2-process run done", flush=True)
 
+    # same default as multiproc_worker.py (module not importable here:
+    # it parses sys.argv and sets XLA_FLAGS at import)
+    N_STEPS = int(os.environ.get("KID_MULTIPROC_STEPS", "900"))
     a, b = np.load(ref), np.load(multi)
-    report = {"case": "cumulus2d", "n_steps": 6, "global_devices": 8,
+    report = {"case": "cumulus2d", "n_steps": N_STEPS, "global_devices": 8,
               "layouts": ["1 process x 8 devices",
                           "2 jax.distributed processes x 4 devices"],
               "fields": {}, "seconds": None}
@@ -66,7 +69,7 @@ def main():
         bitwise &= same
     report["bitwise_identical"] = bitwise
     report["seconds"] = round(time.time() - t0, 1)
-    with open(os.path.join(HERE, "MULTIPROC_r04.json"), "w") as f:
+    with open(os.path.join(HERE, "MULTIPROC_r05.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"bitwise_identical": bitwise,
                       "seconds": report["seconds"]}))

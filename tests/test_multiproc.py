@@ -17,6 +17,9 @@ def test_multiprocess_mesh_bitwise_identical():
     env = dict(os.environ)
     # the orchestrator's workers set their own XLA_FLAGS device counts
     env.pop("XLA_FLAGS", None)
+    # >=200 steps (VERDICT r4 weak #5) but below the 900-step artifact
+    # run (python run_multiproc.py) to bound suite time
+    env.setdefault("KID_MULTIPROC_STEPS", "250")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "run_multiproc.py")],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1500)
