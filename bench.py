@@ -109,7 +109,7 @@ def _synthetic_throughput(ncol, nz, steps):
 def main():
     import jax
 
-    from kid_tpu.driver.cases import MIXED1, WARM1
+    from kid_tpu.driver.cases import AEROSOL1D, MIXED1, WARM1, WARM1_RECON
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
@@ -118,7 +118,13 @@ def main():
     n_time = 100 if on_tpu else 4
 
     mixed = _case_throughput(MIXED1, ncol, n_spin, n_time)
+    # warm1 is the published SH2012 profile since round 5 (nz=130);
+    # warm1_recon is the former nz=120 reconstruction, kept so the
+    # bench-history row (prof/README.md) stays apples-to-apples
     warm = _case_throughput(WARM1, ncol, n_spin * 2, n_time)  # dt=1 s
+    warm_recon = _case_throughput(WARM1_RECON, ncol, n_spin * 2, n_time)
+    # aerosol-aware mode (VERDICT r4 next #2: previously unbenchmarked)
+    aero = _case_throughput(AEROSOL1D, ncol, n_spin, n_time)
     synth = _synthetic_throughput(ncol, 120, 30 if on_tpu else 3)
 
     # real-chip Mosaic smoke (pytest -m tpu), AFTER the timed windows so
@@ -144,6 +150,8 @@ def main():
         "unit": "column-steps/s/chip",
         "vs_baseline": round(mixed / baseline, 2),
         "warm1_case": round(warm, 1),
+        "warm1_recon_case": round(warm_recon, 1),
+        "aerosol1d_case": round(aero, 1),
         "synthetic_mixed_phase_r03_metric": round(synth, 1),
         "ncol": ncol,
         # backend self-description: a CPU fallback run (smoke only) must

@@ -48,6 +48,13 @@ class DiagRegistry:
         np.savez_compressed(path, __meta__=json.dumps(meta),
                             **{k: s.data for k, s in self._streams.items()})
 
+    def to_netcdf(self, path: str):
+        """Classic NetCDF-3 sink (KiD's native diagnostics format; pure
+        NumPy writer, readable by scipy/xarray/ncdump)."""
+        from .netcdf import registry_to_netcdf
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        registry_to_netcdf(self, path)
+
     @classmethod
     def from_npz(cls, path: str) -> "DiagRegistry":
         reg = cls()

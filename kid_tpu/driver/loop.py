@@ -155,6 +155,26 @@ def initial_state(case: Case, dtype=jnp.float64) -> KidState:
         nc=bcast(nc0), nwfa=bcast(nwfa0), nifa=bcast(nifa0))
 
 
+def advected_fields(cfg) -> tuple:
+    """Which tracers the kinematic shell advects (static per config).
+
+    The reference wrapper round-trips exactly the 9 scheme fields
+    (mphys_thompson09n.f90:198-245); nc/nwfa/nifa are this framework's
+    aerosol-mode prognostics (module_mp_thompson09n.f90:950-956 gathers
+    them only when is_aerosol_aware) and are advected only then — in
+    non-aerosol mode the solver forces nc and never reads nwfa/nifa, so
+    advecting them would burn ~25% of the advection stack on physically
+    inert tracers.  Warm-only (iiwarm) cases additionally skip the
+    identically-zero ice species: flux-form advection of an exactly-zero
+    field is exactly zero, so the skip is bitwise-exact as long as the
+    case starts ice-free (every KiD warm case does)."""
+    if cfg.is_aerosol_aware:
+        return KidState._fields
+    if cfg.iiwarm:
+        return ("theta", "qv", "qc", "qr", "nr")
+    return ("theta", "qv", "qc", "qr", "nr", "qi", "ni", "qs", "qg")
+
+
 def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
               profile_names: tuple):
     """Build the per-step function (advect -> microphysics -> update).
@@ -163,9 +183,10 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
     local periodic x-padding, ``dist.mesh.simulate_sharded`` with
     halo-exchanged padding — the two paths differ ONLY in ``pad_x``.
 
-    The 12 KidState tracers are advected as one stacked (12, nloc, nz) tensor,
-    so the sharded path needs exactly ONE ppermute pair per step (not one
-    per tracer).
+    The advected tracers (``advected_fields``: 5 warm / 9 mixed / 12
+    aerosol-aware) travel as one stacked (n_adv, nloc, nz) tensor, so the
+    sharded path needs exactly ONE ppermute pair per step (not one per
+    tracer).
 
     Args:
       w_pat:       (nloc, nz+1) rho0*w z-face pattern (local shard).
@@ -201,13 +222,16 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
     import os
     from ..micro.solver import pallas_enabled
     fused_driver = (one_d and pallas_enabled(cfg)
+                    and not cfg.is_aerosol_aware
                     and os.environ.get("KID_TPU_PALLAS_DRIVER", "0") == "1")
+    adv_fields = advected_fields(cfg)
+    adv_idx = tuple(KidState._fields.index(f) for f in adv_fields)
 
     def step(st: KidState, istep):
         t = istep.astype(dtype) * dt
         m = case.time_modulation(t)
         w_face = m * w_pat                       # rho0*w at z-faces
-        q = jnp.stack(tuple(st))                 # (12, nloc, nz), field order
+        q = jnp.stack([st[i] for i in adv_idx])  # (n_adv, nloc, nz)
 
         # d*_adv + d*_div (the two streams the reference wrapper sums at
         # mphys_thompson09n.f90:60-93).  1-D: flux-form vertical advection
@@ -222,9 +246,11 @@ def make_step(case: Case, tables, dtype, w_pat, u_pat_faces, pres2, pad_x,
                 pad_x(q), u_face, rho0, case.dx)
 
         # provisional state (x + adv*dt), mapped to the micro's T/state
-        # (mphys_thompson09n.f90:60-93)
+        # (mphys_thompson09n.f90:60-93); non-advected tracers pass
+        # through (see advected_fields)
         prov = q + ten * dt
-        prov_named = dict(zip(KidState._fields, prov))
+        prov_named = dict(st._asdict())
+        prov_named.update(zip(adv_fields, prov))
         t_p = prov_named["theta"] * exner
         qv_p = prov_named["qv"]
         w_vel = w_face / rho_face                # velocity for activ_ncloud

@@ -199,6 +199,157 @@ def fused_kid_step(st, w_pat_prof, mmod, tv, pres_prof, exner_prof,
     return new_state, precip, diag
 
 
+def fused_rates(state, pres, tv, cfg, dt_f, want_rates,
+                interpret=None, bc=None):
+    """Kernel A of the aerosol split step: phases 2-11
+    (``solver.rates_from_tables``) as one fused kernel.  Outputs the p8
+    tendency channels (P8_OUT, + P8_RATES when ``want_rates``) that both
+    the XLA aerosol-lookup stage and kernel B (``fused_post``) consume.
+    See fused_step for why the one-kernel design cannot cover aerosol
+    mode (the phase-14 lookups need the phase-12 provisional state)."""
+    from . import solver as S
+    from .state import ColumnState
+
+    qv = state.qv
+    ncol, nz = qv.shape
+    dtype = qv.dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bc = bc or (BC if not want_rates else max(32, BC // 2))
+    pad = (-ncol) % bc
+    ncol_p = ncol + pad
+
+    fields = ColumnState._fields
+    tvk = _tv_keys(cfg)
+    in_keys = list(fields) + ["pres"] + list(tvk)
+    out_keys = list(S.P8_OUT) + (list(S.P8_RATES) if want_rates else [])
+
+    def prep(x):
+        x = jnp.broadcast_to(x, (ncol, nz)).astype(dtype)
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)), mode="edge")
+        return x
+
+    vals = dict(zip(fields, state))
+    vals["pres"] = pres
+    vals.update(tv)
+    operands = [prep(vals[k]) for k in in_keys]
+
+    def kernel(*refs):
+        d = {k: r[...] for k, r in zip(in_keys, refs[:len(in_keys)])}
+        out_refs = dict(zip(out_keys, refs[len(in_keys):]))
+        st = ColumnState(*[d[f] for f in fields])
+        tvb = {k: d[k] for k in tvk}
+        p8 = S.rates_from_tables(st, d["pres"], tvb, cfg, dt_f,
+                                 want_rates, kernel=True)
+        for k in out_keys:
+            out_refs[k][...] = p8[k]
+
+    chan = pl.BlockSpec((bc, nz), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncol_p // bc,),
+        in_specs=[chan for _ in in_keys],
+        out_specs=[chan for _ in out_keys],
+        out_shape=[jax.ShapeDtypeStruct((ncol_p, nz), dtype)
+                   for _ in out_keys],
+        interpret=interpret,
+    )(*operands)
+
+    def unpad(x):
+        return x[:ncol] if pad else x
+
+    return {k: unpad(v) for k, v in zip(out_keys, out)}
+
+
+def fused_post(state, pres, dzq, p8, aero_aux, cfg, dt_f, want_rates,
+               interpret=None, bc=None):
+    """Kernel B of the aerosol split step: phases 12-20
+    (``solver.post_from_p8``) with the XLA-stage lookup results
+    (xnc_act, wev) as operands.  Returns (new ColumnState, Precip, diag)
+    like fused_step; the P8_RATES part of ``diag`` is taken from the
+    kernel-A ``p8`` dict (it passes through _post_rates unchanged)."""
+    from . import solver as S
+    from .state import ColumnState, Precip
+
+    qv = state.qv
+    ncol, nz = qv.shape
+    dtype = qv.dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bc = bc or (BC if not want_rates else max(32, BC // 2))
+    pad = (-ncol) % bc
+    ncol_p = ncol + pad
+
+    fields = ColumnState._fields
+    p8k = list(S.P8_OUT)
+    auxk = ["xnc_act", "wev"]
+    in_keys = list(fields) + ["pres", "dzq"] + p8k + auxk
+    diagk = ("prr_gml", "prv_rev", "pnr_rev") if want_rates else ()
+    out_keys = list(fields) + list(_PRECIP_KEYS) + list(diagk)
+
+    def prep(x):
+        x = jnp.broadcast_to(x, (ncol, nz)).astype(dtype)
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)), mode="edge")
+        return x
+
+    vals = dict(zip(fields, state))
+    vals["pres"] = pres
+    vals["dzq"] = dzq
+    vals.update({k: p8[k] for k in p8k})
+    vals.update(aero_aux)
+    operands = [prep(vals[k]) for k in in_keys]
+
+    def kernel(*refs):
+        d = {k: r[...] for k, r in zip(in_keys, refs[:len(in_keys)])}
+        out_refs = dict(zip(out_keys, refs[len(in_keys):]))
+        st = ColumnState(*[d[f] for f in fields])
+        p8b = {k: d[k] for k in p8k}
+        aux = {"xnc_act": d["xnc_act"], "wev": d["wev"]}
+        new_state, ppt, diag = S.post_from_p8(
+            st, d["pres"], d["dzq"], p8b, cfg, dt_f, want_rates,
+            kernel=True, aero_aux=aux)
+        for f in fields:
+            out_refs[f][...] = getattr(new_state, f)
+        for k, v in zip(_PRECIP_KEYS,
+                        (ppt.rain, ppt.snow, ppt.graupel, ppt.ice)):
+            out_refs[k][...] = v
+        for k in diagk:
+            out_refs[k][...] = diag[k]
+
+    chan = pl.BlockSpec((bc, nz), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((bc, 1), lambda b: (b, 0),
+                       memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncol_p // bc,),
+        in_specs=[chan for _ in in_keys],
+        out_specs=[col if k in _PRECIP_KEYS else chan for k in out_keys],
+        out_shape=[jax.ShapeDtypeStruct(
+            (ncol_p, 1 if k in _PRECIP_KEYS else nz), dtype)
+            for k in out_keys],
+        input_output_aliases={i: i for i in range(len(fields))},
+        interpret=interpret,
+    )(*operands)
+
+    res = dict(zip(out_keys, out))
+
+    def unpad(x):
+        return x[:ncol] if pad else x
+
+    new_state = ColumnState(*[unpad(res[f]) for f in fields])
+    precip = Precip(*[unpad(res[k])[:, 0] for k in _PRECIP_KEYS])
+    diag = {}
+    if want_rates:
+        diag = {k: p8[k] for k in S.P8_RATES}
+        diag.update({k: unpad(res[k]) for k in diagk})
+    return new_state, precip, diag
+
+
 def fused_step(state, pres, dzq, tv, cfg, dt_f, want_rates,
                interpret=None, bc=None):
     """Run phases 2-20 (``solver.core_from_tables``) as one fused kernel

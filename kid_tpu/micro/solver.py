@@ -98,6 +98,11 @@ class DeviceTables(NamedTuple):
     t_efsw: jax.Array  # (nbs, nbc)
     tnc_wev: jax.Array  # (nbc, ntb_c, nbc)
     tnccn_act: jax.Array  # (7, 9, 7, 5, 4) CCN activation fraction
+    # the 4 bilinear corners tnccn_act[{i-1,i},{j-1,j},k,2,1] pre-arranged
+    # per flattened (i,j,k) so activ_ncloud is ONE exact one-hot MXU
+    # fetch of a 4-wide row instead of 4 scattered 1M-index gathers
+    # (measured ~3.4 ms EACH on a v5e; see aerosol.activ_ncloud)
+    tnccn_corners: jax.Array  # (7*9*7, 4)
 
 
 def device_tables(tables: Tables, dtype=jnp.float32) -> DeviceTables:
@@ -132,7 +137,26 @@ def device_tables(tables: Tables, dtype=jnp.float32) -> DeviceTables:
         t_efrw=jnp.asarray(np.asarray(tables.t_efrw, np_dtype)),
         t_efsw=jnp.asarray(np.asarray(tables.t_efsw, np_dtype)),
         tnc_wev=jnp.asarray(np.asarray(tables.tnc_wev, np_dtype)),
-        tnccn_act=jnp.asarray(np.asarray(tables.tnccn_act, np_dtype)))
+        tnccn_act=jnp.asarray(np.asarray(tables.tnccn_act, np_dtype)),
+        tnccn_corners=jnp.asarray(
+            _tnccn_corners(np.asarray(tables.tnccn_act, np.float64))
+            .astype(np_dtype)))
+
+
+def _tnccn_corners(act: np.ndarray) -> np.ndarray:
+    """(ni*nj*nk, 4) corner rows [a, b, cc, dd] of the activation table's
+    fixed (l=2, m=1) plane (f90:4502-4503), indexed by the CLIPPED
+    (i, j, k) of aerosol.activ_ncloud: a=act[i-1,j-1,k], b=act[i,j-1,k],
+    cc=act[i,j,k], dd=act[i-1,j,k].  Rows with i==0 or j==0 are never
+    fetched (activ_ncloud clips both to >= 1); zeros there."""
+    plane = act[:, :, :, 2, 1]                  # (ni, nj, nk)
+    ni, nj, nk = plane.shape
+    out = np.zeros((ni, nj, nk, 4))
+    out[1:, 1:, :, 0] = plane[:-1, :-1, :]      # a
+    out[1:, 1:, :, 1] = plane[1:, :-1, :]       # b
+    out[1:, 1:, :, 2] = plane[1:, 1:, :]        # cc
+    out[1:, 1:, :, 3] = plane[:-1, 1:, :]       # dd
+    return out.reshape(ni * nj * nk, 4)
 
 
 # nu_c-indexed gamma-coefficient columns [ccg1, ccg2, ccg3, ocg1, ocg2, cce2]
@@ -253,10 +277,12 @@ def _use_pallas(state, cfg) -> bool:
     round-3 rates-only kernel, prof/README.md).
 
     Off for: CPU (inline XLA is the reference-equivalence path; Mosaic
-    needs a TPU), aerosol-aware mode (phase 14 gathers tnc_wev mid-step,
-    f90:2795-2851), and single-column (nz,) calls.  KID_TPU_PALLAS=0
-    forces inline everywhere; =1 forces the kernel (interpret-mode off
-    TPU — slow, for tests)."""
+    needs a TPU) and single-column (nz,) calls.  Aerosol-aware mode runs
+    the SPLIT-kernel path (kernel A phases 2-11 -> XLA phase-14 lookups
+    -> kernel B phases 12-20; the tnc_wev/activation gathers need the
+    phase-12 provisional state, f90:2795-2851, so one kernel cannot
+    cover them).  KID_TPU_PALLAS=0 forces inline everywhere; =1 forces
+    the kernels (interpret-mode off TPU — slow, for tests)."""
     return pallas_enabled(cfg, state.qv.ndim)
 
 
@@ -264,7 +290,7 @@ def pallas_enabled(cfg, ndim: int = 2) -> bool:
     """Shared gate logic for the fused kernels (see ``_use_pallas``)."""
     import os
     mode = os.environ.get("KID_TPU_PALLAS", "auto")
-    if mode == "0" or cfg.is_aerosol_aware or ndim != 2:
+    if mode == "0" or ndim != 2:
         return False
     if mode == "1":
         return True
@@ -433,25 +459,108 @@ def _banded_gather(table, lin, mask, kband: int):
     outside the window the rows are zeros, masked identically.  When the
     band is wider than the window the full gather runs instead
     (``lax.cond``), so consumed results match the unbanded path bitwise
-    in all regimes."""
+    in all regimes.
+
+    Returns a TUPLE of per-channel (..., nz) arrays (not a stacked
+    (..., nz, nch) tensor): consumers read individual channels, and a
+    channel-minor 3-D materialization costs ~4 ms of layout traffic
+    (measured; see the per-channel dus note below)."""
     nz = lin.shape[-1]
+    nch = table.shape[-1]
     if kband <= 0 or nz <= kband:
-        return table[lin]
+        rows = table[lin]
+        return tuple(rows[..., j] for j in range(nch))
     act = jnp.any(mask, axis=tuple(range(mask.ndim - 1)))      # (nz,)
     k0 = jnp.argmax(act).astype(jnp.int32)
     k1 = (nz - jnp.argmax(act[::-1])).astype(jnp.int32)
     width = jnp.where(jnp.any(act), k1 - k0, 0)
-    lead = (0,) * (lin.ndim - 1)
+    zero = jnp.zeros((), jnp.int32)          # match s0 dtype under x64
+    lead = (zero,) * (lin.ndim - 1)
 
     def banded(_):
         s0 = jnp.minimum(k0, nz - kband)     # dynamic_slice's own clamp
         lin_b = lax.dynamic_slice(lin, lead + (s0,),
                                   lin.shape[:-1] + (kband,))
-        rows_b = table[lin_b]
-        full = jnp.zeros(lin.shape + (table.shape[-1],), table.dtype)
-        return lax.dynamic_update_slice(full, rows_b, lead + (s0, 0))
+        rows_b = table[lin_b]                # (..., kband, nch)
+        # scatter-back PER CHANNEL on 2-D state-layout arrays: a single
+        # 3-D dus makes XLA materialize the zeros in a channel-minor
+        # {2,1,0} layout (measured 0.8 ms broadcast + 2.8 ms dus + 0.7 ms
+        # relayout copy for qrfz); per-channel (ncol, nz) dus on the
+        # natural {1,0} layout is cheap
+        full = jnp.zeros(lin.shape, table.dtype)
+        return tuple(lax.dynamic_update_slice(full, rows_b[..., j],
+                                              lead + (s0,))
+                     for j in range(nch))
 
-    return lax.cond(width <= kband, banded, lambda _: table[lin], None)
+    def unbanded(_):
+        rows = table[lin]
+        return tuple(rows[..., j] for j in range(nch))
+
+    return lax.cond(width <= kband, banded, unbanded, None)
+
+
+def _banded_lookup2d(tab, i0, i1, mask, kband: int):
+    """Banded variant of ``_lookup2d`` (same contract as
+    ``_banded_gather``: zeros outside the window, full lookup when the
+    band overflows).  The one-hot MXU dot cost scales with cell count,
+    so restricting it to the active k-band scales it by kband/nz.
+
+    ``mask`` must be a SUPERSET of the consumer's own activity test;
+    callers widen threshold-based masks (mvd>D0 etc.) by a slack factor
+    because the fused kernel re-derives those thresholds in Mosaic
+    arithmetic that may differ from XLA's by ulps."""
+    nz = i0.shape[-1]
+    if kband <= 0 or nz <= kband:
+        return _lookup2d(tab, i0, i1)
+    act = jnp.any(mask, axis=tuple(range(mask.ndim - 1)))
+    k0 = jnp.argmax(act).astype(jnp.int32)
+    k1 = (nz - jnp.argmax(act[::-1])).astype(jnp.int32)
+    width = jnp.where(jnp.any(act), k1 - k0, 0)
+    zero = jnp.zeros((), jnp.int32)
+    lead = (zero,) * (i0.ndim - 1)
+
+    def banded(_):
+        s0 = jnp.minimum(k0, nz - kband)
+        i0b = lax.dynamic_slice(i0, lead + (s0,),
+                                i0.shape[:-1] + (kband,))
+        i1b = lax.dynamic_slice(i1, lead + (s0,),
+                                i1.shape[:-1] + (kband,))
+        v = _lookup2d(tab, i0b, i1b)
+        return lax.dynamic_update_slice(
+            jnp.zeros(i0.shape, tab.dtype), v, lead + (s0,))
+
+    return lax.cond(width <= kband, banded,
+                    lambda _: _lookup2d(tab, i0, i1), None)
+
+
+def _banded_lookup2d_family(fam, n0, n1, i0, i1, mask, kband: int,
+                            dtype):
+    """Banded variant of ``_lookup2d_family`` (k channels first)."""
+    nz = i0.shape[-1]
+    if kband <= 0 or nz <= kband:
+        return _lookup2d_family(fam, n0, n1, i0, i1, dtype)
+    act = jnp.any(mask, axis=tuple(range(mask.ndim - 1)))
+    k0 = jnp.argmax(act).astype(jnp.int32)
+    k1 = (nz - jnp.argmax(act[::-1])).astype(jnp.int32)
+    width = jnp.where(jnp.any(act), k1 - k0, 0)
+    zero = jnp.zeros((), jnp.int32)
+    lead = (zero,) * (i0.ndim - 1)
+
+    def banded(_):
+        s0 = jnp.minimum(k0, nz - kband)
+        i0b = lax.dynamic_slice(i0, lead + (s0,),
+                                i0.shape[:-1] + (kband,))
+        i1b = lax.dynamic_slice(i1, lead + (s0,),
+                                i1.shape[:-1] + (kband,))
+        v = _lookup2d_family(fam, n0, n1, i0b, i1b, dtype)  # (k, ..., kb)
+        full = jnp.zeros(i0.shape, dtype)
+        return jnp.stack([lax.dynamic_update_slice(full, v[j],
+                                                   lead + (s0,))
+                          for j in range(fam.shape[0])])
+
+    return lax.cond(width <= kband, banded,
+                    lambda _: _lookup2d_family(fam, n0, n1, i0, i1,
+                                               dtype), None)
 
 
 def _rows_const(mat, idx, dtype):
@@ -1257,11 +1366,24 @@ def _table_stage(pro, idx, tables: DeviceTables, cfg: MicroConfig,
     rc = pro["rc"]; nc = pro["nc"]; ri = pro["ri"]; ni = pro["ni"]
     rr = pro["rr"]; nr = pro["nr"]; rs = pro["rs"]; rg = pro["rg"]
 
-    tv = {"ef_rw": _lookup2d(tables.t_efrw, idx["rw"], idx["cw"])}
+    # ef_rw/ef_sw banded by slack-widened supersets of their consumer
+    # masks (rcw at solver.py:607, scw at :654; 0.999 threshold slack
+    # because the fused kernel re-derives mvd_c/mvd_r/xds in Mosaic
+    # arithmetic) — see _banded_lookup2d.  In warm-only mode ef_rw is
+    # the ONLY table op and banding it measured a net LOSS (warm1_recon
+    # 2.30M -> 1.97M col-steps/s: the cond/any/dus overhead exceeds the
+    # ~0.2 ms dot saving), so iiwarm keeps the plain lookup.
     if cfg.iiwarm:
-        return tv
+        return {"ef_rw": _lookup2d(tables.t_efrw, idx["rw"], idx["cw"])}
+    rcw_band = ((pro["qr1d"] > 0.5 * c.R1) & (pro["mvd_r"] > 0.999 * c.D0R)
+                & (pro["mvd_c"] > 0.999 * c.D0C))
+    tv = {"ef_rw": _banded_lookup2d(tables.t_efrw, idx["rw"], idx["cw"],
+                                    rcw_band, _GATHER_KBAND)}
 
-    ef_sw = _lookup2d(tables.t_efsw, idx["sw"], idx["cw"])
+    scw_band = ((pro["qc1d"] > 0.5 * c.R1) & (pro["mvd_c"] > 0.999 * c.D0C)
+                & (pro["xds"] > 0.999 * c.D0S))
+    ef_sw = _banded_lookup2d(tables.t_efsw, idx["sw"], idx["cw"],
+                             scw_band, _GATHER_KBAND // 2)
     idx_r = idx["r"]; idx_r1 = idx["r1"]; idx_tc = idx["tc"]
     # activity masks (identical to the consumers' where-conditions below)
     # drive the banded family gathers — see _banded_gather
@@ -1274,21 +1396,26 @@ def _table_stage(pro, idx, tables: DeviceTables, cfg: MicroConfig,
     # transpose (a moveaxis here cost ~0.7 ms of relayout copies)
     lin_s = ((idx["s"] * c.NTB_T + idx["t"]) * c.NTB_R1 + idx_r1) \
         * c.NTB_R + idx_r
-    rv_rows = _banded_gather(tables.racs, lin_s, rs_on, _GATHER_KBAND)
-    rv = [rv_rows[..., j] for j in range(rv_rows.shape[-1])]
+    # per-family static windows sized from the measured case bands
+    # (prof/prof_bands.py: racs <= 10, racg <= 33, qrfz <= 36 levels
+    # across mixed1/deep1/aerosol1d) with ~1.5x headroom; the lax.cond
+    # fallback keeps any regime outside these windows exact
+    rv = _banded_gather(tables.racs, lin_s, rs_on, _GATHER_KBAND // 4)
     lin_g = ((idx["g1"] * c.NTB_G + idx["g"]) * c.NTB_R1 + idx_r1) \
         * c.NTB_R + idx_r
-    gv_rows = _banded_gather(tables.racg, lin_g, rg_on, _GATHER_KBAND)
-    gv = [gv_rows[..., j] for j in range(gv_rows.shape[-1])]
-    fv_rows = _banded_gather(
+    gv = _banded_gather(tables.racg, lin_g, rg_on, _GATHER_KBAND * 3 // 4)
+    fv = _banded_gather(
         tables.qrfz, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc,
-        frz_tab, _GATHER_KBAND)
-    fv = [fv_rows[..., j] for j in range(fv_rows.shape[-1])]
+        frz_tab, _GATHER_KBAND * 3 // 4)
     # qcfz/iaus are small enough (37x45, 64x55) for EXACT one-hot MXU
     # lookups (same trick as _lookup2d) instead of paying the
-    # ~10-cycles-per-index scattered-gather path twice more
-    cv = _lookup2d_family(tables.qcfz, c.NTB_C, 45, idx["c"], idx_tc,
-                          dtype)
+    # ~10-cycles-per-index scattered-gather path twice more; qcfz is
+    # additionally banded by its own consumer mask (wfz_tab, consumed in
+    # THIS function so the mask is exact).  iaus stays full-height: its
+    # ice_on mask spans nearly the whole column (prof/prof_bands.py).
+    wfz_band = t_lt_0 & (rc > 0.5 * _RC1)
+    cv = _banded_lookup2d_family(tables.qcfz, c.NTB_C, 45, idx["c"],
+                                 idx_tc, wfz_band, _GATHER_KBAND, dtype)
     iv = _lookup2d_family(tables.iaus, c.NTB_I, c.NTB_I1, idx["i"],
                           idx["i1"], dtype)
 
@@ -1384,7 +1511,7 @@ def _table_stage(pro, idx, tables: DeviceTables, cfg: MicroConfig,
 
 def _post_rates(state: ColumnState, pres, w1d, dzq, p8, pro, tables,
                 cfg: MicroConfig, dt_f: float, want_rates: bool,
-                kernel=False):
+                kernel=False, aero_aux=None):
     """Phases 12-20 of mp_thompson (f90:2574-3686): provisional state at
     t+dt, PSD recompute, saturation adjustment + droplet nucleation, rain
     evaporation, terminal velocities + CFL-substepped sedimentation,
@@ -1485,9 +1612,14 @@ def _post_rates(state: ColumnState, pres, w1d, dzq, p8, pro, tables,
     xrc = rc + clap * rho
     prw_vcd_pos = clap * odt
     if cfg.is_aerosol_aware:
-        # explicit CCN activation from the parcel-model table (f90:2795-2801)
-        xnc_act = jnp.maximum(2.0, activ_ncloud(temp, w1d, nwfa,
-                                                tables.tnccn_act))
+        # explicit CCN activation from the parcel-model table
+        # (f90:2795-2801); in the split-kernel TPU path the lookup ran in
+        # the XLA stage (aerosol_lookup_stage) and arrives as an operand
+        if aero_aux is not None:
+            xnc_act = aero_aux["xnc_act"]
+        else:
+            xnc_act = jnp.maximum(2.0, activ_ncloud(
+                temp, w1d, nwfa, tables.tnccn_corners))
     else:
         xnc_act = nt_c      # activ_ncloud degenerates to NCCN*1.0
     pnc_wcd_pos = jnp.where(clap > c.EPS,
@@ -1497,17 +1629,30 @@ def _post_rates(state: ColumnState, pres, w1d, dzq, p8, pro, tables,
         # evaporate the explicit number of drops smaller than Dc_star
         # via the tnc_wev lookup (f90:2804-2851)
         evap_br = (clap < -c.EPS) & (ssatw < -1.0e-6)
-        t1_evd, rvs_wd = _subl_prefactor(temp, qvs, rho, diffu, tcond,
-                                         ssatw, lvap, 2.0 * c.PI)
-        dc_star = jnp.sqrt(jnp.maximum(
-            0.0, -2.0 * dt * t1_evd / (2.0 * c.PI) * 4.0 * diffu * ssatw
-            * rvs_wd / c.RHO_W))
-        idx_d = jnp.clip((1.0e6 * dc_star).astype(jnp.int32), 1,
-                         c.NBC) - 1
-        idx_n = tnc_index(nc, float(c.T_NC[0]), c.NIC1, c.NBC)
-        idx_ce = jnp.where(rc > _RC1,
-                           decade_index(rc, c.NIC2, c.NTB_C), 0)
-        wev = tables.tnc_wev[idx_d, idx_ce, idx_n]
+        if aero_aux is not None:
+            wev = aero_aux["wev"]      # looked up in the XLA stage
+        else:
+            t1_evd, rvs_wd = _subl_prefactor(temp, qvs, rho, diffu,
+                                             tcond, ssatw, lvap,
+                                             2.0 * c.PI)
+            dc_star = jnp.sqrt(jnp.maximum(
+                0.0, -2.0 * dt * t1_evd / (2.0 * c.PI) * 4.0 * diffu
+                * ssatw * rvs_wd / c.RHO_W))
+            idx_d = jnp.clip((1.0e6 * dc_star).astype(jnp.int32), 1,
+                             c.NBC) - 1
+            idx_n = tnc_index(nc, float(c.T_NC[0]), c.NIC1, c.NBC)
+            idx_ce = jnp.where(rc > _RC1,
+                               decade_index(rc, c.NIC2, c.NTB_C), 0)
+            # wev consumed ONLY under evap_br (below), so the scattered
+            # gather is banded by exactly that mask (same contract as
+            # the ice-family gathers; full-size it costs ~3.4 ms at 1M
+            # cells)
+            if not kernel and temp.ndim == 2:
+                lin_wev = (idx_d * c.NTB_C + idx_ce) * c.NBC + idx_n
+                (wev,) = _banded_gather(tables.tnc_wev.reshape(-1, 1),
+                                        lin_wev, evap_br, _GATHER_KBAND)
+            else:
+                wev = tables.tnc_wev[idx_d, idx_ce, idx_n]
         pnc_wcd_pos = jnp.where(
             evap_br,
             jnp.maximum(-nc * 0.99 * orho * odt, -wev * orho * odt),
@@ -1832,7 +1977,10 @@ def _post_rates(state: ColumnState, pres, w1d, dzq, p8, pro, tables,
     # (phase 8-11 rates come from the extracted block; phase-15 rain
     # evaporation rates are computed in this function)
     if want_rates:
-        diag = {k: p8[k] for k in P8_RATES}
+        # in the split-kernel path kernel B receives only the P8_OUT
+        # tendencies; the P8_RATES channels are merged back by the
+        # fused_post wrapper from kernel A's p8
+        diag = {k: p8[k] for k in P8_RATES if k in p8}
         diag["prr_gml"] = prr_gml
         diag["prv_rev"] = prv_rev
         diag["pnr_rev"] = pnr_rev
@@ -1853,6 +2001,100 @@ def core_from_tables(state: ColumnState, pres, w1d, dzq, tv, cfg, dt_f,
     p8 = rates_and_tendencies(pro, cfg, dt_f, want_rates)
     return _post_rates(state, pres, w1d, dzq, p8, pro, None, cfg, dt_f,
                        want_rates, kernel=kernel)
+
+
+def rates_from_tables(state: ColumnState, pres, tv, cfg, dt_f,
+                      want_rates, kernel=False):
+    """Phases 2-11 given the raw state and table channels — the body of
+    the aerosol split-kernel's FIRST kernel (pallas_step.fused_rates).
+    Returns the p8 dict (P8_OUT tendencies + P8_RATES when wanted)."""
+    pro, _ = _prologue(state, pres, cfg, kernel=kernel, want_idx=False)
+    pro.update(tv)
+    return rates_and_tendencies(pro, cfg, dt_f, want_rates)
+
+
+def post_from_p8(state: ColumnState, pres, dzq, p8, cfg, dt_f,
+                 want_rates, kernel=False, aero_aux=None):
+    """Phases 12-20 given the raw state + p8 tendencies (+ the aerosol
+    lookup results) — the body of the split-kernel's SECOND kernel
+    (pallas_step.fused_post).  Recomputes the prologue VMEM-resident for
+    the stale snow moments / phase-2 zeroed state, exactly like
+    core_from_tables."""
+    pro, _ = _prologue(state, pres, cfg, kernel=kernel, want_idx=False)
+    return _post_rates(state, pres, None, dzq, p8, pro, None, cfg, dt_f,
+                       want_rates, kernel=kernel, aero_aux=aero_aux)
+
+
+def aerosol_lookup_stage(state: ColumnState, pres, w1d, p8,
+                         tables: DeviceTables, cfg, dt_f):
+    """The two aerosol-mode table lookups of phase 14, evaluated in the
+    XLA stage between the split kernels (f90:2795-2851).
+
+    Both lookups need the PROVISIONAL (phase-12) state, which depends on
+    the p8 tendencies — that is why the one-kernel design cannot cover
+    aerosol mode (the gathers cannot run mid-kernel; VERDICT r4 next
+    #2).  This stage re-derives just the phase-12 thermodynamics the
+    lookups read (f90:2574-2656 restricted to temp/qv/rho/nc/rc and the
+    condensation Newton, f90:2780-2793), then:
+
+      * ``xnc_act``: CCN activation via the one-hot corner fetch
+        (aerosol.activ_ncloud);
+      * ``wev``: the drop-evaporation number via the tnc_wev gather,
+        banded by a slack-widened evaporation-branch mask (the kernel
+        re-derives the exact mask in Mosaic arithmetic; 0.5x slack on
+        both thresholds keeps the band a superset across ulp
+        differences).
+    """
+    dtype = state.qv.dtype
+    dt = jnp.asarray(float(dt_f), dtype)
+    odt = 1.0 / dt
+    tten = p8["tten"]; qvten = p8["qvten"]; qcten = p8["qcten"]
+    ncten = p8["ncten"]; nwfaten = p8["nwfaten"]
+    temp = state.t + dt * tten
+    tempc = temp - 273.15
+    qv = jnp.maximum(1.0e-10, state.qv + dt * qvten)
+    rho = 0.622 * pres / (c.R_GAS * temp * (qv + 0.622))
+    qvs = rslf(pres, temp)
+    ssatw = qv / qvs - 1.0
+    ssatw = jnp.where(jnp.abs(ssatw) < c.EPS, 0.0, ssatw)
+    diffu = 2.11e-5 * powc(temp / 273.15, 1.94) * (101325.0 / pres)
+    lvap = c.LVAP0 + (2106.0 - 4218.0) * tempc
+    tcond = (5.69 + 0.0168 * tempc) * 1.0e-5 * 418.936
+    ocp = 1.0 / (c.CP * (1.0 + 0.887 * qv))
+    otemp = 1.0 / temp
+    lvt2 = lvap * lvap * ocp * c.ORV * otemp * otemp
+    nwfa = jnp.maximum(11.1e6, (state.nwfa + nwfaten * dt) * rho)
+    l_qc = (state.qc + qcten * dt) > c.R1
+    rc = jnp.where(l_qc, (state.qc + qcten * dt) * rho, c.R1)
+    nc = jnp.where(l_qc,
+                   jnp.maximum(2.0, (state.nc + ncten * dt) * rho), 2.0)
+    # condensation Newton (f90:2784-2789)
+    clap = (qv - qvs) / (1.0 + lvt2 * qvs)
+    for _ in range(3):
+        ex = jnp.exp(jnp.clip(lvt2 * clap, -50.0, 50.0))
+        fcd = qvs * ex - qv + clap
+        dfcd = qvs * lvt2 * ex + 1.0
+        clap = clap - fcd / dfcd
+
+    xnc_act = jnp.maximum(2.0, activ_ncloud(temp, w1d, nwfa,
+                                            tables.tnccn_corners))
+
+    evap_band = (clap < -0.5 * c.EPS) & (ssatw < -0.5e-6)   # slacked
+    t1_evd, rvs_wd = _subl_prefactor(temp, qvs, rho, diffu, tcond,
+                                     ssatw, lvap, 2.0 * c.PI)
+    dc_star = jnp.sqrt(jnp.maximum(
+        0.0, -2.0 * dt * t1_evd / (2.0 * c.PI) * 4.0 * diffu * ssatw
+        * rvs_wd / c.RHO_W))
+    idx_d = jnp.clip((1.0e6 * dc_star).astype(jnp.int32), 1, c.NBC) - 1
+    idx_n = tnc_index(nc, float(c.T_NC[0]), c.NIC1, c.NBC)
+    idx_ce = jnp.where(rc > _RC1, decade_index(rc, c.NIC2, c.NTB_C), 0)
+    if state.qv.ndim == 2:
+        lin_wev = (idx_d * c.NTB_C + idx_ce) * c.NBC + idx_n
+        (wev,) = _banded_gather(tables.tnc_wev.reshape(-1, 1), lin_wev,
+                                evap_band, _GATHER_KBAND)
+    else:
+        wev = tables.tnc_wev[idx_d, idx_ce, idx_n]
+    return {"xnc_act": xnc_act, "wev": wev}
 
 
 @partial(jax.jit, static_argnames=("cfg", "dt", "want_rates"))
@@ -1885,6 +2127,15 @@ def column_microphysics(state: ColumnState, pres, w1d, dzq, dt,
     pro, idx = _prologue(state, pres, cfg)
     tv = _table_stage(pro, idx, tables, cfg, dt_f)
     if _use_pallas(state, cfg):
+        if cfg.is_aerosol_aware:
+            # split-kernel path: the phase-14 aerosol lookups need the
+            # phase-12 provisional state (see aerosol_lookup_stage)
+            from .pallas_step import fused_post, fused_rates
+            p8 = fused_rates(state, pres, tv, cfg, dt_f, want_rates)
+            aux = aerosol_lookup_stage(state, pres, w1d, p8, tables,
+                                       cfg, dt_f)
+            return fused_post(state, pres, dzq, p8, aux, cfg, dt_f,
+                              want_rates)
         from .pallas_step import fused_step
         return fused_step(state, pres, dzq, tv, cfg, dt_f, want_rates)
     pro.update(tv)

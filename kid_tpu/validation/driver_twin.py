@@ -31,13 +31,16 @@ from ..driver.loop import KidState, initial_state
 from .oracle import mp_thompson_oracle
 
 
-def oracle_simulate(case: Case, n_steps: int, tables_host):
+def oracle_simulate(case: Case, n_steps: int, tables_host,
+                    want_means: bool = False):
     """Run ``n_steps`` of a case with oracle microphysics.
 
     Returns (final KidState-like dict of (nx, nz) float64 arrays,
     dict of per-step surface precip series shaped (n_steps,) for 1-D
-    cases and (n_steps, nx) for 2-D cases).
-    """
+    cases and (n_steps, nx) for 2-D cases).  With ``want_means`` also
+    returns the per-field TIME-MEAN (nx, nz) profiles over the run —
+    the integrated yardstick the f32 validation budgets read
+    (validate_cases_f32.py)."""
     import jax
     if not jax.config.read("jax_enable_x64"):
         raise RuntimeError("oracle twin requires jax_enable_x64 for the "
@@ -66,18 +69,22 @@ def oracle_simulate(case: Case, n_steps: int, tables_host):
 
     shape = (n_steps,) if one_d else (n_steps, nx)
     ppt = {k: np.zeros(shape) for k in ("rain", "snow", "graupel", "ice")}
+    mean_acc = {f: np.zeros((nx, nz)) for f in KidState._fields}
 
     rho0_j = jnp.asarray(rho0)
     dz_j = jnp.asarray(dz)
     w_pat_j = jnp.asarray(w_pat)
     u_pat_j = None if one_d else jnp.asarray(u_pat)
 
+    from ..driver.loop import advected_fields
+    adv_fields = advected_fields(cfg)    # same static rule as the driver
+
     for istep in range(n_steps):
         t = istep * dt
         m = float(np.asarray(case.time_modulation(t)))
         w_face = m * w_pat_j                                 # (nx, nz+1)
 
-        q = jnp.asarray(np.stack([fields[f] for f in KidState._fields]))
+        q = jnp.asarray(np.stack([fields[f] for f in adv_fields]))
         ten = advective_tendency_z(q, w_face, rho0_j, dz_j)
         if one_d:
             ten = ten + divergence_tendency_z(q, w_face, rho0_j, dz_j)
@@ -87,8 +94,9 @@ def oracle_simulate(case: Case, n_steps: int, tables_host):
             ten = ten + advective_tendency_x_padded(qpad, u_face, rho0_j,
                                                     case.dx)
         ten = np.asarray(ten, np.float64)
-        prov = {f: fields[f] + ten[i] * dt
-                for i, f in enumerate(KidState._fields)}
+        prov = dict(fields)
+        for i, f in enumerate(adv_fields):
+            prov[f] = fields[f] + ten[i] * dt
 
         w_vel = np.asarray(w_face, np.float64) / rho_face    # (nx, nz+1)
         w_cent = 0.5 * (w_vel[:, 1:] + w_vel[:, :-1])
@@ -117,5 +125,10 @@ def oracle_simulate(case: Case, n_steps: int, tables_host):
             ppt["graupel"][loc] = out["pptgraul"]
             ppt["ice"][loc] = out["pptice"]
         fields = new
+        for f in KidState._fields:
+            mean_acc[f] += new[f]
 
+    if want_means:
+        means = {f: a / max(n_steps, 1) for f, a in mean_acc.items()}
+        return fields, ppt, means
     return fields, ppt

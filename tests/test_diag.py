@@ -130,6 +130,37 @@ def test_registry_npz_roundtrip(tmp_path):
     assert back._streams["total_surface_ppt"].dims == "time"
 
 
+def test_registry_netcdf_roundtrip(tmp_path):
+    """The pure-NumPy classic-NetCDF sink must round-trip through an
+    independent reader (scipy.io.netcdf_file), with dims/units/attrs —
+    KiD's own toolchain reads exactly this format
+    (mphys_thompson09n.f90:248-308 feeds KiD's netCDF diagnostics)."""
+    from scipy.io import netcdf_file
+
+    reg = DiagRegistry()
+    reg.save(np.arange(5.0), "total_surface_ppt", units="kg/kg m",
+             dims="time")
+    reg.save(np.ones((5, 3), np.float32) * 2.5, "prr_wau",
+             units="/kg/s", dims="time,z")
+    reg.save(np.arange(12.0).reshape(5 - 1, 3)[:2], "qc_2d",
+             units="kg/kg", dims="time,z")       # same names, new length
+    reg.save(np.asarray(["mixed1"], dtype="U32"), "case", dims="meta")
+    path = os.path.join(tmp_path, "diags.nc")
+    reg.to_netcdf(path)
+
+    with netcdf_file(path, "r", mmap=False) as nc:
+        assert nc.dimensions["time"] == 5
+        assert nc.dimensions["z"] == 3
+        v = nc.variables["prr_wau"]
+        assert v.units.decode() == "/kg/s"
+        assert v.dimensions == ("time", "z")
+        np.testing.assert_allclose(v[:], 2.5)
+        np.testing.assert_array_equal(
+            nc.variables["total_surface_ppt"][:], np.arange(5.0))
+        assert nc.variables["qc_2d"].shape == (2, 3)
+        assert nc.case.decode() == "mixed1"    # meta string -> global att
+
+
 # -------------------------------------------- save_dg diagnostics parity
 
 def test_full_savedg_parity_mixed1():

@@ -126,6 +126,37 @@ def test_fused_step_matches_inline(cfg):
                                    rtol=1e-4, atol=1e-12)
 
 
+def test_aerosol_split_kernels_match_inline():
+    """Aerosol-aware mode runs the SPLIT kernel pair (fused_rates ->
+    XLA aerosol_lookup_stage -> fused_post; round-5 VERDICT next #2);
+    its one-step result must match the inline path within the same
+    knife-edge tolerance model as the one-kernel test."""
+    from kid_tpu.micro.pallas_step import fused_post, fused_rates
+
+    cfg = MicroConfig(iiwarm=False, is_aerosol_aware=True)
+    state, pres, dzq = _make_batch()
+    w1d = jnp.full_like(pres, 0.5)
+    tables = S.device_tables(get_tables(iiwarm=False), jnp.float32)
+    dt_f = 10.0
+    pro, idx = S._prologue(state, pres, cfg)
+    tv = S._table_stage(pro, idx, tables, cfg, dt_f)
+    pro_i = dict(pro)
+    pro_i.update(tv)
+    p8_i = S.rates_and_tendencies(pro_i, cfg, dt_f, True)
+    inline = S._post_rates(state, pres, w1d, dzq, p8_i, pro_i, tables,
+                           cfg, dt_f, True)
+    p8 = fused_rates(state, pres, tv, cfg, dt_f, True, interpret=True)
+    aux = S.aerosol_lookup_stage(state, pres, w1d, p8, tables, cfg, dt_f)
+    fused = fused_post(state, pres, dzq, p8, aux, cfg, dt_f, True,
+                       interpret=True)
+    want, ppt_w = _flatten(inline, True)
+    got, ppt_g = _flatten(fused, True)
+    _assert_equiv(got, want)
+    for pw, pg in zip(ppt_w, ppt_g):
+        np.testing.assert_allclose(np.asarray(pg), np.asarray(pw),
+                                   rtol=1e-3, atol=1e-12)
+
+
 def test_fused_step_padding_and_no_rates():
     """ncol not divisible by the block exercises pad/slice; want_rates=False
     exercises the reduced output set."""

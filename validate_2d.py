@@ -110,7 +110,20 @@ def conservation(case, n_steps):
     grid = case.grid()
     rho0 = np.asarray(grid.rho0)
     dz = np.asarray(grid.dz)
-    final, streams = run_case(case, n_steps=n_steps)
+    from kid_tpu.driver.loop import KidState
+    final, streams = run_case(case, n_steps=n_steps,
+                              profile_diags=KidState._fields)
+    # save the full-size fp64 anchors (finals + time-means + precip) for
+    # the f32/TPU production-path scoring (validate_2d_f32.py; VERDICT
+    # r4 next #4).  The fp64 driver is itself twin-validated above.
+    from validate_cases import FINALS_DIR
+    os.makedirs(FINALS_DIR, exist_ok=True)
+    np.savez(os.path.join(FINALS_DIR, f"{case.name}_2dfp64.npz"),
+             ppt_rain=np.asarray(streams.ppt_rain, np.float64).sum(axis=1),
+             **{f: np.asarray(getattr(final, f)) for f in final._fields},
+             **{f"tmean_{f}": np.asarray(streams.profiles[f],
+                                         np.float64).mean(axis=0)
+                for f in final._fields})
 
     def water(st_fields):
         q = sum(np.asarray(st_fields[f], np.float64) for f in WATER_FIELDS)

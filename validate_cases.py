@@ -1,8 +1,9 @@
 """Full-length case equivalence: JAX driver vs the oracle-driven twin.
 
-Drives the five 1-D cases — warm1 (3,600 steps), warm1_sh2012 (3,600),
-mixed1 (1,800), deep1 (1,800; the per-species CFL-substep stress case of
-BASELINE config 3) and aerosol1d (900) — through BOTH
+Drives the five 1-D cases — warm1 (published SH2012 profile; 3,600
+steps), warm1_recon (the former reconstruction, 3,600), mixed1 (1,800),
+deep1 (1,800; the per-species CFL-substep stress case of BASELINE
+config 3) and aerosol1d (900) — through BOTH
 ``driver.loop.simulate`` (fp64) and the oracle twin
 (``validation/driver_twin.oracle_simulate``), then compares the
 prognostics the reference wrapper round-trips
@@ -41,13 +42,13 @@ def _configure():
 import numpy as np  # noqa: E402
 
 from kid_tpu.driver.cases import (AEROSOL1D, DEEP1, MIXED1, WARM1,  # noqa: E402
-                                  WARM1_SH2012)
+                                  WARM1_RECON)
 from kid_tpu.driver.loop import run_case  # noqa: E402
 from kid_tpu.tables.cache import get_tables  # noqa: E402
 from kid_tpu.validation.driver_twin import oracle_simulate  # noqa: E402
 
 RTOL = 1e-4
-OUT = "VALIDATION_r04.json"
+OUT = "VALIDATION_r05.json"
 FINALS_DIR = "validation_finals"
 # nc/nwfa/nifa are NOT part of the reference accuracy target (BASELINE.md
 # lists qv,qc,qr,qi,qs,qg,ni,nr,theta — the fields the KiD wrapper
@@ -57,7 +58,7 @@ FINALS_DIR = "validation_finals"
 # get a documented looser budget.
 TARGET_FIELDS = ("theta", "qv", "qc", "qr", "nr", "qi", "ni", "qs", "qg")
 RTOL_AEROSOL_EXTRAS = 1e-3
-RUNS = [(WARM1, 3600), (WARM1_SH2012, 3600), (MIXED1, 1800),
+RUNS = [(WARM1, 3600), (WARM1_RECON, 3600), (MIXED1, 1800),
         (DEEP1, 1800), (AEROSOL1D, 900)]
 
 
@@ -83,6 +84,37 @@ def score_against_oracle(final_fields, ppt_rain_series, oracle_npz,
     entry["worst_aerosol_extra_rel"] = worst_extra
     entry["pass"] = bool(worst_target <= rtol and ppt_rel <= rtol
                          and worst_extra <= rtol_extras)
+    return entry
+
+
+def integrated_scores(final_fields, oracle_npz, case, tmean_driver=None):
+    """Budgets on the INTEGRATED, physically-read quantities of the KiD
+    intercomparison (VERDICT r4 next #3): final column water paths
+    (vapor / liquid / ice, rho0-weighted vertical integrals) and the
+    time-mean profiles, each relative to the oracle's own scale."""
+    grid = case.grid()
+    wz = grid.rho0 * grid.dz                      # (nz,) column weights
+
+    def path(fields, keys):
+        return sum((np.asarray(fields[k], np.float64) * wz).sum(-1)
+                   for k in keys)
+
+    entry = {}
+    for name, keys in (("wvp", ("qv",)), ("lwp", ("qc", "qr")),
+                       ("iwp", ("qi", "qs", "qg"))):
+        po = path(oracle_npz, keys)
+        pd = path(final_fields, keys)
+        scale = np.abs(po).max() + np.abs(path(oracle_npz, ("qv",))).max() \
+            * 1e-6 + 1e-30      # floor tiny ice paths against the vapor path
+        entry[f"final_{name}_rel"] = float(np.abs(pd - po).max() / scale)
+    if tmean_driver is not None and "tmean_qv" in oracle_npz:
+        worst = 0.0
+        for f in TARGET_FIELDS:
+            a = np.asarray(tmean_driver[f], np.float64)
+            b = np.asarray(oracle_npz[f"tmean_{f}"], np.float64)
+            worst = max(worst, float(np.abs(a - b).max()
+                                     / (np.abs(b).max() + 1e-30)))
+        entry["tmean_prof_worst_rel"] = worst
     return entry
 
 
@@ -139,10 +171,12 @@ def main():
         t0 = time.time()
         tables = get_tables(iiwarm=case.micro.iiwarm)
         final, streams = run_case(case, n_steps=n)
-        fo, ppt = oracle_simulate(case, n, tables)
+        fo, ppt, means_o = oracle_simulate(case, n, tables,
+                                           want_means=True)
         np.savez(os.path.join(FINALS_DIR, f"{case.name}.npz"),
                  ppt_rain=ppt["rain"],
-                 **{f: fo[f] for f in final._fields})
+                 **{f: fo[f] for f in final._fields},
+                 **{f"tmean_{f}": means_o[f] for f in final._fields})
         entry = score_against_oracle(
             {f: np.asarray(getattr(final, f)) for f in final._fields},
             np.asarray(streams.ppt_rain)[:, 0],

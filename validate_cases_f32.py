@@ -10,13 +10,35 @@ and scores the finals against the fp64 oracle finals saved by
     python validate_cases_f32.py cpu    # inline XLA f32 path
     python validate_cases_f32.py tpu    # fused-Pallas default TPU path
 
-Pass criterion: the fp64 target (rtol 1e-4) cannot be met by fp32 over
-thousands of chaotic steps (single-rounding differences flip presence/
-regime branches whose consequences then grow); the documented f32 budget
-is per-field max rel <= F32_BUDGET against the field's own max — the
-scale on which the KiD intercomparison reads these profiles — plus
-agreement of cumulative surface precip to F32_PPT_BUDGET.  The budget is
-recorded in the artifact next to the measured numbers.
+Pass criterion (round 5; VERDICT r4 next #3): FIXED budgets on the
+INTEGRATED, physically-read quantities of the KiD intercomparison — the
+cumulative surface-precip series, the final column water paths
+(vapor/liquid/ice) and the time-mean profiles — with NO self-referencing
+term in the predicate.  The fp64 target (rtol 1e-4) cannot be met by
+fp32 over thousands of chaotic steps: single-rounding differences flip
+presence/regime branches whose consequences grow, so FINAL-STATE field
+maxima decorrelate (deep1's snow-edge level shift reaches 0.19 under
+the reference's own f32-state precision model) while the integrated
+quantities stay orders of magnitude tighter.  Final-state field maxima
+and the three chaos yardsticks (per-step-noise ensemble spread,
+cross-backend distance, reference precision model) are REPORTED as
+evidence but do not enter the pass rule.
+
+Budget provenance (fixed before this round's artifact runs):
+  * cum-precip 2e-2 default; 5e-2 for the aerosol-aware case.  Measured
+    justification (prof/prof_chaos_ppt.py): per-step multiplicative
+    1e-7 noise on ALL prognostic fields — the perturbation class a
+    different backend's deterministic rounding (FMA formation,
+    transcendental ulps) injects — decorrelates aerosol1d's cumulative
+    precip to 1.4e-2 (white noise) / 2.1e-2 (persistent spatial bias,
+    which re-flips the same near-edge branches, e.g. ide0<0 at
+    ssati~0, every step).  A tighter budget would reject the
+    fp64-faithful algorithm itself; qv-only noise leaves cum_ppt at
+    ~3e-4, showing the sensitive channel is the aerosol number state
+    feeding activation (the scheme's own activation<->evaporation
+    feedback), not a defective op.
+  * water paths 2.5e-2, time-mean profiles 4e-2: ~2x the worst
+    deviation of the reference's own precision model across cases.
 """
 from __future__ import annotations
 
@@ -39,22 +61,30 @@ import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from kid_tpu.driver.cases import (AEROSOL1D, DEEP1, MIXED1, WARM1,  # noqa: E402
-                                  WARM1_SH2012)
-from kid_tpu.driver.loop import initial_state, simulate  # noqa: E402
+                                  WARM1_RECON)
+from kid_tpu.driver.loop import KidState, initial_state, simulate  # noqa: E402
 from kid_tpu.micro.solver import device_tables  # noqa: E402
 from kid_tpu.tables.cache import get_tables  # noqa: E402
 from validate_cases import (FINALS_DIR, OUT, RUNS,  # noqa: E402
-                            score_against_oracle)
+                            integrated_scores, score_against_oracle)
 
-F32_BUDGET = 2.5e-2     # per-field max rel vs field scale (see docstring)
-F32_PPT_BUDGET = 2e-2   # cumulative surface rain series
+F32_BUDGET = 2.5e-2     # reported-evidence scale (not in the pass rule)
+# fixed pass budgets on integrated quantities (docstring: provenance)
+PPT_BUDGET = {"aerosol1d": 5e-2}
+PPT_BUDGET_DEFAULT = 2e-2
+PATH_BUDGET = 2.5e-2
+TMEAN_BUDGET = 4e-2
 
 
 def main():
     report = json.load(open(OUT)) if os.path.exists(OUT) else {}
     key = f"f32_{BACKEND}"
-    report[key] = {"budget_field_rel": F32_BUDGET,
-                   "budget_cum_ppt_rel": F32_PPT_BUDGET,
+    report[key] = {"pass_budgets": {
+                       "cum_ppt_rel": {"default": PPT_BUDGET_DEFAULT,
+                                       **PPT_BUDGET},
+                       "final_water_path_rel": PATH_BUDGET,
+                       "tmean_prof_rel": TMEAN_BUDGET},
+                   "evidence_scale_field_rel": F32_BUDGET,
                    "jax_backend": jax.default_backend(),
                    "cases": {}}
     for case, n in RUNS:
@@ -68,11 +98,17 @@ def main():
         tables = device_tables(get_tables(iiwarm=case.micro.iiwarm),
                                jnp.float32)
         st = initial_state(case, jnp.float32)
-        final, streams = simulate(st, tables, case, n)
+        final, streams = simulate(st, tables, case, n,
+                                  profile_diags=KidState._fields)
         entry = score_against_oracle(
             {f: np.asarray(getattr(final, f)) for f in final._fields},
             np.asarray(streams.ppt_rain)[:, 0],
             oracle, F32_BUDGET, F32_BUDGET)
+        tmean = {f: np.asarray(streams.profiles[f], np.float64)
+                 .mean(axis=0) for f in final._fields}
+        entry.update(integrated_scores(
+            {f: np.asarray(getattr(final, f)) for f in final._fields},
+            oracle, case, tmean_driver=tmean))
         # chaos yardstick: the f32 ENSEMBLE SPREAD.  Run the same f32
         # program from a 1e-7-perturbed qv; per-step f32 rounding injects
         # perturbations of exactly that class, so if the two f32 members
@@ -125,11 +161,17 @@ def main():
         refm = (report.get("fp64", {}).get(case.name, {})
                 .get("ref_precision_model_worst_target_rel", 0.0))
         entry["ref_precision_model_worst_target_rel"] = refm
+        # FIXED-budget pass rule on integrated quantities only (VERDICT
+        # r4 next #3; the docstring states the budgets' provenance).
+        # worst_target_field_rel and the chaos yardsticks above stay as
+        # reported evidence, NOT pass terms.
+        ppt_budget = PPT_BUDGET.get(case.name, PPT_BUDGET_DEFAULT)
         entry["pass"] = bool(
-            entry["worst_target_field_rel"]
-            <= max(F32_BUDGET, 1.5 * refm, 3.0 * spread, 1.5 * xspread)
-            and entry["cum_ppt_rain_rel"]
-            <= max(F32_PPT_BUDGET, 1.5 * xspread))
+            entry["cum_ppt_rain_rel"] <= ppt_budget
+            and entry["final_wvp_rel"] <= PATH_BUDGET
+            and entry["final_lwp_rel"] <= PATH_BUDGET
+            and entry["final_iwp_rel"] <= PATH_BUDGET
+            and entry["tmean_prof_worst_rel"] <= TMEAN_BUDGET)
         entry["n_steps"] = n
         entry["seconds"] = round(time.time() - t0, 1)
         report[key]["cases"][case.name] = entry
