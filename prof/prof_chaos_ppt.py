@@ -44,7 +44,7 @@ def run(case_name, eps=1.0e-7, seed=0, persistent=False):
                              (case.nx, case.nz))
     w_pat = jnp.asarray(case.rhow_pattern(grid), jnp.float32)
     step = make_step(case, tables, jnp.float32, w_pat, None, pres2, None,
-                     ())
+                     KidState._fields)
 
     def noisy_step(st, i):
         new, outs = step(st, i)
@@ -74,11 +74,14 @@ def run(case_name, eps=1.0e-7, seed=0, persistent=False):
 
 
 def main():
+    targets = ("theta", "qv", "qc", "qr", "nr", "qi", "ni", "qs", "qg")
     for case_name in sys.argv[1:] or ["aerosol1d", "mixed1", "warm1"]:
         f0, s0 = run(case_name, eps=0.0)
         p0 = np.asarray(s0.ppt_rain, np.float64)[:, 0].cumsum()
+        tm0 = {f: np.asarray(s0.profiles[f], np.float64).mean(axis=0)
+               for f in targets}
         for persistent in (False, True):
-            worst_ppt, worst_fld = 0.0, 0.0
+            worst_ppt, worst_fld, worst_tm = 0.0, 0.0, 0.0
             for seed in (1, 2, 3):
                 f1, s1 = run(case_name, eps=1.0e-7, seed=seed,
                              persistent=persistent)
@@ -86,16 +89,21 @@ def main():
                 worst_ppt = max(worst_ppt,
                                 float(np.abs(p1 - p0).max()
                                       / (np.abs(p0).max() + 1e-30)))
-                for f in ("theta", "qv", "qc", "qr", "nr", "qi", "ni",
-                          "qs", "qg"):
+                for f in targets:
                     a = np.asarray(getattr(f0, f), np.float64)
                     b = np.asarray(getattr(f1, f), np.float64)
                     worst_fld = max(worst_fld, float(
                         np.abs(a - b).max() / (np.abs(a).max() + 1e-30)))
+                    tm1 = np.asarray(s1.profiles[f],
+                                     np.float64).mean(axis=0)
+                    worst_tm = max(worst_tm, float(
+                        np.abs(tm1 - tm0[f]).max()
+                        / (np.abs(tm0[f]).max() + 1e-30)))
             kind = "persistent-bias" if persistent else "white-noise"
             print(f"{case_name}: per-step-1e-7 {kind} ensemble "
                   f"(3 members): cum_ppt spread {worst_ppt:.3e}  "
-                  f"field spread {worst_fld:.3e}", flush=True)
+                  f"field spread {worst_fld:.3e}  tmean-profile spread "
+                  f"{worst_tm:.3e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -31,9 +31,15 @@ import time
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+def _configure():
+    # called from main() ONLY: validate_2d_f32.py imports this module
+    # for CONS_TOL/WATER_FIELDS and must NOT have x64 flipped on by a
+    # module-level side effect (the same round-4 bug validate_cases.py
+    # had)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -145,6 +151,7 @@ def conservation(case, n_steps):
 
 
 def main():
+    _configure()
     report = json.load(open(OUT)) if os.path.exists(OUT) else {}
     report["twod_oracle_twin"] = {}
     for case in (CUMULUS2D, OROGRAPHIC2D):

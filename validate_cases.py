@@ -211,6 +211,17 @@ def main():
         entry["ref_precision_model_worst_target_rel"] = \
             rent["worst_target_field_rel"]
         entry["ref_precision_model_cum_ppt_rel"] = rent["cum_ppt_rain_rel"]
+        # the reference model's own integrated-quantity deviations — the
+        # measurements the f32 pass budgets are fixed against
+        # (validate_cases_f32.py docstring); e.g. deep1 final_lwp lands
+        # at 5.5e-2 under the reference's own f32-state design (the
+        # melting-front level shift), so the full-f32 path cannot be
+        # held to a tighter final-path budget there
+        rint = integrated_scores(
+            {f: np.asarray(getattr(finalr, f)) for f in finalr._fields},
+            {**{f: fo[f] for f in final._fields}}, case)
+        for k, v in rint.items():
+            entry[f"ref_precision_model_{k}"] = v
         entry["seconds"] = round(time.time() - t0, 1)
         report["fp64"][case.name] = entry
         print(f"{case.name}: worst_target_rel="
