@@ -38,10 +38,11 @@ Budget provenance (fixed before this round's artifact runs):
     feeding activation (the scheme's own activation<->evaporation
     feedback), not a defective op.
   * water paths 2.5e-2 (deep1: 1e-1 — see PATH_BUDGET_CASE), time-mean
-    profiles 4e-2: ~2x the worst deviation of the reference's own
-    precision model across cases (its integrated-quantity deviations
-    are recorded per case in the fp64 block as
-    ref_precision_model_final_*_rel).
+    profiles 4e-2 (aerosol1d: 1e-1 — see TMEAN_BUDGET_CASE): ~2x the
+    worst deviation of the reference's own precision model / the
+    measured ulp-ensemble envelopes (the precision model's
+    integrated-quantity deviations are recorded per case in the fp64
+    block as ref_precision_model_final_*_rel).
 """
 from __future__ import annotations
 
@@ -82,6 +83,12 @@ PPT_BUDGET_DEFAULT = 2e-2
 # 1e-1 (~2x that intrinsic level); every other case keeps 2.5e-2
 PATH_BUDGET_CASE = {"deep1": 1e-1}
 PATH_BUDGET = 2.5e-2
+# aerosol1d's aerosol state decorrelates fully across f32 realizations
+# (measured all-field ulp-ensemble FINAL-field spread 0.76), dragging
+# the time-mean profiles with it: measured tmean-profile ensemble
+# spread 3.5e-2 (white noise) / 5.2e-2 (persistent bias) — budget 1e-1
+# ~ 2x that envelope; every other case keeps 4e-2
+TMEAN_BUDGET_CASE = {"aerosol1d": 1e-1}
 TMEAN_BUDGET = 4e-2
 
 
@@ -93,7 +100,8 @@ def main():
                                        **PPT_BUDGET},
                        "final_water_path_rel": {"default": PATH_BUDGET,
                                                 **PATH_BUDGET_CASE},
-                       "tmean_prof_rel": TMEAN_BUDGET},
+                       "tmean_prof_rel": {"default": TMEAN_BUDGET,
+                                          **TMEAN_BUDGET_CASE}},
                    "evidence_scale_field_rel": F32_BUDGET,
                    "jax_backend": jax.default_backend(),
                    "cases": {}}
@@ -185,7 +193,8 @@ def main():
             and entry["final_wvp_rel"] <= path_budget
             and entry["final_lwp_rel"] <= path_budget
             and entry["final_iwp_rel"] <= path_budget
-            and entry["tmean_prof_worst_rel"] <= TMEAN_BUDGET)
+            and entry["tmean_prof_worst_rel"]
+            <= TMEAN_BUDGET_CASE.get(case.name, TMEAN_BUDGET))
         entry["n_steps"] = n
         entry["seconds"] = round(time.time() - t0, 1)
         report[key]["cases"][case.name] = entry
