@@ -72,8 +72,12 @@ def activ_ncloud(tt, ww, nccn, tnccn_corners):
     on a v5e — the dominant cost of the round-4 aerosol step)."""
     from .solver import _rows
 
-    n_local = jnp.clip(nccn * 1.0e-6, c.TA_NA[0] + 1.0, c.TA_NA[-1] - 1.0)
-    w_local = jnp.clip(ww, c.TA_WW[0] + 0.001, c.TA_WW[-1] - 1.0)
+    # python-float bounds: a np.float64 scalar would promote the f32
+    # state to f64 under jax_enable_x64 (weak-typing rule)
+    n_local = jnp.clip(nccn * 1.0e-6, float(c.TA_NA[0]) + 1.0,
+                       float(c.TA_NA[-1]) - 1.0)
+    w_local = jnp.clip(ww, float(c.TA_WW[0]) + 0.001,
+                       float(c.TA_WW[-1]) - 1.0)
     i = jnp.clip(jnp.searchsorted(jnp.asarray(c.TA_NA), n_local,
                                   side="right"), 1, len(c.TA_NA) - 1)
     j = jnp.clip(jnp.searchsorted(jnp.asarray(c.TA_WW), w_local,

@@ -74,7 +74,10 @@ def run(case_name, eps=1.0e-7, seed=0, persistent=False):
 
 
 def main():
+    import json
     targets = ("theta", "qv", "qc", "qr", "nr", "qi", "ni", "qs", "qg")
+    out_json = os.environ.get("KID_CHAOS_OUT", "")   # VALIDATION json
+    results = {}
     for case_name in sys.argv[1:] or ["aerosol1d", "mixed1", "warm1"]:
         f0, s0 = run(case_name, eps=0.0)
         p0 = np.asarray(s0.ppt_rain, np.float64)[:, 0].cumsum()
@@ -99,11 +102,29 @@ def main():
                     worst_tm = max(worst_tm, float(
                         np.abs(tm1 - tm0[f]).max()
                         / (np.abs(tm0[f]).max() + 1e-30)))
-            kind = "persistent-bias" if persistent else "white-noise"
+            kind = "persistent_bias" if persistent else "white_noise"
+            results.setdefault(case_name, {})[kind] = {
+                "cum_ppt_spread": worst_ppt,
+                "final_field_spread": worst_fld,
+                "tmean_profile_spread": worst_tm,
+                "members": 3, "eps": 1.0e-7}
             print(f"{case_name}: per-step-1e-7 {kind} ensemble "
                   f"(3 members): cum_ppt spread {worst_ppt:.3e}  "
                   f"field spread {worst_fld:.3e}  tmean-profile spread "
                   f"{worst_tm:.3e}", flush=True)
+    if out_json:
+        report = (json.load(open(out_json))
+                  if os.path.exists(out_json) else {})
+        report["chaos_envelope"] = {
+            "what": "per-step multiplicative 1e-7 noise on ALL prognostic "
+                    "fields — the perturbation class a different "
+                    "backend's deterministic rounding injects; the f32 "
+                    "pass budgets are fixed at ~2x these envelopes "
+                    "(validate_cases_f32.py docstring)",
+            "cases": results}
+        with open(out_json, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote chaos_envelope to {out_json}", flush=True)
 
 
 if __name__ == "__main__":
