@@ -1643,14 +1643,15 @@ def _post_rates(state: ColumnState, pres, w1d, dzq, p8, pro, tables,
             idx_n = tnc_index(nc, float(c.T_NC[0]), c.NIC1, c.NBC)
             idx_ce = jnp.where(rc > _RC1,
                                decade_index(rc, c.NIC2, c.NTB_C), 0)
-            # wev consumed ONLY under evap_br (below), so the scattered
-            # gather is banded by exactly that mask (same contract as
-            # the ice-family gathers; full-size it costs ~3.4 ms at 1M
-            # cells)
+            # wev survives only under evap_br AND sat_mask's negative
+            # branch (ssatw < -EPS & l_qc, f90:2783) — band by both, or
+            # the band spans every subsaturated level and degenerates
+            # to the full 1M-index gather (measured 7 ms/step)
             if not kernel and temp.ndim == 2:
                 lin_wev = (idx_d * c.NTB_C + idx_ce) * c.NBC + idx_n
                 (wev,) = _banded_gather(tables.tnc_wev.reshape(-1, 1),
-                                        lin_wev, evap_br, _GATHER_KBAND)
+                                        lin_wev, evap_br & l_qc,
+                                        _GATHER_KBAND)
             else:
                 wev = tables.tnc_wev[idx_d, idx_ce, idx_n]
         pnc_wcd_pos = jnp.where(
@@ -2079,7 +2080,13 @@ def aerosol_lookup_stage(state: ColumnState, pres, w1d, p8,
     xnc_act = jnp.maximum(2.0, activ_ncloud(temp, w1d, nwfa,
                                             tables.tnccn_corners))
 
-    evap_band = (clap < -0.5 * c.EPS) & (ssatw < -0.5e-6)   # slacked
+    # wev is consumed only where sat_mask's NEGATIVE branch holds, which
+    # requires cloud presence (ssatw < -EPS & l_qc, f90:2783) — without
+    # the l_qc term the band spans every subsaturated level and the
+    # banded gather degenerates to the full 1M-index path (measured
+    # 7 ms/step).  All three terms slacked against kernel-side ulps.
+    evap_band = ((clap < -0.5 * c.EPS) & (ssatw < -0.5e-6)
+                 & ((state.qc + qcten * dt) > 0.5 * c.R1))
     t1_evd, rvs_wd = _subl_prefactor(temp, qvs, rho, diffu, tcond,
                                      ssatw, lvap, 2.0 * c.PI)
     dc_star = jnp.sqrt(jnp.maximum(
