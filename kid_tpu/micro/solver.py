@@ -1403,6 +1403,9 @@ def _table_stage(pro, idx, tables: DeviceTables, cfg: MicroConfig,
     rv = _banded_gather(tables.racs, lin_s, rs_on, _GATHER_KBAND // 4)
     lin_g = ((idx["g1"] * c.NTB_G + idx["g"]) * c.NTB_R1 + idx_r1) \
         * c.NTB_R + idx_r
+    # 48-level windows: 40 measured SLOWER (mixed1 ~595k vs ~700-800k
+    # col-steps/s — a 40-lane dynamic slice loses the fast sub-tile
+    # path that 48/64 widths hit); do not shrink below 48
     gv = _banded_gather(tables.racg, lin_g, rg_on, _GATHER_KBAND * 3 // 4)
     fv = _banded_gather(
         tables.qrfz, (idx_r * c.NTB_R1 + idx_r1) * 45 + idx_tc,
