@@ -2100,6 +2100,8 @@ def aerosol_lookup_stage(state: ColumnState, pres, w1d, p8,
     idx_ce = jnp.where(rc > _RC1, decade_index(rc, c.NIC2, c.NTB_C), 0)
     if state.qv.ndim == 2:
         lin_wev = (idx_d * c.NTB_C + idx_ce) * c.NBC + idx_n
+        # 64-level window: 48 measured SLOWER for aerosol1d (occasional
+        # band overflow puts full 7 ms gathers in the hot window)
         (wev,) = _banded_gather(tables.tnc_wev.reshape(-1, 1), lin_wev,
                                 evap_band, _GATHER_KBAND)
     else:
