@@ -93,7 +93,8 @@ def simulate_sharded(state0: KidState, tables, case, n_steps: int,
     # per-shard u faces: shard i owns faces [i*nloc, (i+1)*nloc], one
     # overlapping face with its right neighbor — build as (nx, nz, 2)
     # (left face, right face per column) to keep the shard axis clean
-    if case.nx > 1:
+    if not case.is_1d:       # nx alone doesn't decide: a 1-D case can
+        # be WIDENED to nx identical columns (cases.Case.is_1d)
         u_full = np.asarray(case.rhou_pattern(grid))
         u_lr = np.stack([u_full[:-1], u_full[1:]], axis=-1)  # (nx, nz, 2)
         u_pat_full = jnp.asarray(u_lr, dtype)

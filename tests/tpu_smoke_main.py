@@ -28,7 +28,7 @@ import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from kid_tpu.dist.mesh import make_mesh, simulate_sharded  # noqa: E402
-from kid_tpu.driver.cases import CUMULUS2D, MIXED1  # noqa: E402
+from kid_tpu.driver.cases import AEROSOL1D, CUMULUS2D, MIXED1  # noqa: E402
 from kid_tpu.driver.loop import initial_state, simulate  # noqa: E402
 from kid_tpu.micro.solver import device_tables  # noqa: E402
 from kid_tpu.tables.cache import get_tables  # noqa: E402
@@ -72,6 +72,14 @@ def run(n_steps=40, ncol=256):
     st2 = initial_state(CUMULUS2D, jnp.float32)
     f_sh, _ = simulate_sharded(st2, tables, CUMULUS2D, 1, mesh)
     assert np.isfinite(np.asarray(f_sh.qv)).all()
+
+    # the aerosol SPLIT kernels (fused_rates/fused_post) inside
+    # shard_map on real hardware: widened aerosol1d, a few steps
+    aero = dataclasses.replace(AEROSOL1D, nx=256)
+    st3 = initial_state(aero, jnp.float32)
+    f_a, _ = simulate_sharded(st3, tables, aero, 3, mesh)
+    for f in f_a._fields:
+        assert np.isfinite(np.asarray(getattr(f_a, f))).all(), f
     print(f"SMOKE_OK kernel_vs_inline_worst_rel={worst:.3e} "
           f"platform={jax.devices()[0].platform}", flush=True)
 
