@@ -69,7 +69,8 @@ def main():
         bitwise &= same
     report["bitwise_identical"] = bitwise
     report["seconds"] = round(time.time() - t0, 1)
-    with open(os.path.join(HERE, "MULTIPROC_r05.json"), "w") as f:
+    out_name = os.environ.get("KID_MULTIPROC_OUT", "MULTIPROC_r05.json")
+    with open(os.path.join(HERE, out_name), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"bitwise_identical": bitwise,
                       "seconds": report["seconds"]}))

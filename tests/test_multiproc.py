@@ -18,8 +18,11 @@ def test_multiprocess_mesh_bitwise_identical():
     # the orchestrator's workers set their own XLA_FLAGS device counts
     env.pop("XLA_FLAGS", None)
     # >=200 steps (VERDICT r4 weak #5) but below the 900-step artifact
-    # run (python run_multiproc.py) to bound suite time
+    # run (python run_multiproc.py) to bound suite time; write to a
+    # scratch name so the test can never clobber the committed
+    # case-length artifact
     env.setdefault("KID_MULTIPROC_STEPS", "250")
+    env["KID_MULTIPROC_OUT"] = "MULTIPROC_test_scratch.json"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "run_multiproc.py")],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1500)
