@@ -63,3 +63,29 @@ def test_banded_case_bitwise_vs_full(case_name, monkeypatch):
                                       np.asarray(getattr(f2, name)), name)
     np.testing.assert_array_equal(np.asarray(s1.ppt_rain),
                                   np.asarray(s2.ppt_rain))
+
+
+def test_advected_fields_invariants():
+    """The static advected stack (round 5): warm-only cases keep the
+    never-created ice species EXACTLY zero (so skipping their advection
+    is bitwise-exact), and the stack selection matches the reference
+    wrapper's round-trip set (mphys_thompson09n.f90:198-245).  nc/nwfa/
+    nifa still EVOLVE through the microphysics sinks in every mode
+    (f90:2858-2872) — only their x/z ADVECTION is aerosol-mode-only;
+    their evolution is pinned against the oracle twin by the fp64
+    validation (worst_extra <= 2.8e-11)."""
+    import jax.numpy as jnp
+    from kid_tpu.driver.cases import AEROSOL1D, MIXED1, WARM1_RECON
+    from kid_tpu.driver.loop import KidState, advected_fields
+
+    assert advected_fields(WARM1_RECON.micro) == (
+        "theta", "qv", "qc", "qr", "nr")
+    assert len(advected_fields(MIXED1.micro)) == 9
+    assert advected_fields(AEROSOL1D.micro) == KidState._fields
+
+    case = dataclasses.replace(WARM1_RECON, nx=2)
+    tables = device_tables(get_tables(iiwarm=True), jnp.float32)
+    st0 = initial_state(case, jnp.float32)
+    f, _ = simulate(st0, tables, case, 400)
+    for sp in ("qi", "ni", "qs", "qg"):
+        assert np.all(np.asarray(getattr(f, sp)) == 0.0), sp

@@ -148,7 +148,11 @@ def test_registry_netcdf_roundtrip(tmp_path):
     path = os.path.join(tmp_path, "diags.nc")
     reg.to_netcdf(path)
 
+    reg.save(np.arange(5, dtype=np.int64), "istep", dims="time")
+    reg.to_netcdf(path)      # int stream -> NC_INT
     with netcdf_file(path, "r", mmap=False) as nc:
+        np.testing.assert_array_equal(nc.variables["istep"][:],
+                                      np.arange(5))
         assert nc.dimensions["time"] == 5
         assert nc.dimensions["z"] == 3
         v = nc.variables["prr_wau"]
